@@ -1,0 +1,91 @@
+"""Per-ray depth sampling: stratified coarse + inverse-CDF importance.
+
+TPU-first redesign of the reference's sampling (src/model.py:1045-1056,
+1110-1148): everything is fixed-shape, and `searchsorted` is replaced by a
+comparison-count formulation that lowers to dense vectorized ops on the VPU
+instead of a gather-heavy binary search.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z(key, near, far, n_samples, jitter=True):
+    """Stratified depths along each ray.
+
+    Matches reference src/model.py:1045-1056: n linspace bins in [0,1];
+    when jittering, each sample is drawn uniformly inside its bin (bins
+    delimited by midpoints, with the first/last samples pinned to the ends
+    of their half-bins).
+
+    Args:
+      key: PRNG key (unused if jitter=False; may be None then).
+      near, far: (..., 1) per-ray metric bounds.
+      n_samples: static int.
+      jitter: train-time bin jitter.
+    Returns:
+      z: (..., n_samples) sorted sample depths.
+    """
+    dtype = near.dtype
+    z = jnp.linspace(0.0, 1.0, n_samples, dtype=dtype)
+    z = jnp.broadcast_to(z, near.shape[:-1] + (n_samples,))
+    if jitter:
+        mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        lower = jnp.concatenate([z[..., :1], mid], axis=-1)
+        upper = jnp.concatenate([mid, z[..., -1:]], axis=-1)
+        u = jax.random.uniform(key, z.shape, dtype=dtype)
+        z = lower + u * (upper - lower)
+    return near + (far - near) * z
+
+
+def importance_z(key, contrib, z_bins, n_samples, uniform=False):
+    """Inverse-CDF importance resampling of ray depths.
+
+    Semantics of reference src/model.py:1110-1148 (`importance_sample`), with
+    `searchsorted(right=True)` expressed as a comparison count: for each
+    sample u, idx = #{cdf_j <= u}. The (M+1, n) comparison matrix is tiny per
+    ray and vectorizes perfectly; the subsequent bin gathers use
+    take_along_axis.
+
+    Args:
+      key: PRNG key (unused when uniform=True; may be None then).
+      contrib: (..., M) per-bin weights (coarse compositing contribs).
+      z_bins: (..., M + 1) bin-edge depths (the coarse z midpoints).
+      n_samples: static int number of fine samples.
+      uniform: evenly spaced CDF samples instead of random (eval mode).
+    Returns:
+      (..., n_samples) importance-sampled depths (not sorted).
+    """
+    dtype = z_bins.dtype
+    contrib = contrib.astype(dtype) + 1e-5
+    pdf = contrib / jnp.sum(contrib, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M+1)
+
+    shape = cdf.shape[:-1] + (n_samples,)
+    if uniform:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples, dtype=dtype), shape)
+    else:
+        u = jax.random.uniform(key, shape, dtype=dtype)
+
+    # searchsorted(cdf, u, right) == count of cdf entries <= u.
+    idx = jnp.sum((cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2)
+    m_edges = cdf.shape[-1]
+    idx_prev = jnp.clip(idx - 1, 0, m_edges - 1)
+    idx_next = jnp.clip(idx, 0, m_edges - 1)
+
+    cdf_prev = jnp.take_along_axis(cdf, idx_prev, axis=-1)
+    cdf_next = jnp.take_along_axis(cdf, idx_next, axis=-1)
+    z_prev = jnp.take_along_axis(z_bins, idx_prev, axis=-1)
+    z_next = jnp.take_along_axis(z_bins, idx_next, axis=-1)
+
+    den = cdf_next - cdf_prev
+    den = jnp.where(den < 1e-5, jnp.ones_like(den), den)
+    return z_prev + (u - cdf_prev) / den * (z_next - z_prev)
+
+
+def union_sorted_z(z_coarse, z_fine):
+    """Sorted union of coarse and fine depths per ray
+    (reference src/model.py:1076)."""
+    return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)

@@ -1,0 +1,198 @@
+"""Convolutional feature encoders (Flax, NHWC).
+
+TPU-native equivalents of the reference's pixel-aligned encoders:
+
+  * HGFilter — stacked-hourglass geometry encoder (reference HGFilterV2,
+    src/utils.py:322-414): input (V, H, W, 3) in [-1, 1]; returns a 64-ch
+    coarse map at H/4 and an 8-ch hi-res map at H/2.
+  * ResBlkEncoder — conv encoder-decoder texture encoder (reference
+    src/utils.py:216-259): 8-ch output at H/2 (3 downs, 2 ups).
+
+Design notes (TPU-first, not a translation):
+  * NHWC layout throughout — XLA's native conv layout on TPU.
+  * GroupNorm instead of (Sync)BatchNorm: the zju config already uses
+    GroupNorm (utils.py:327), and GroupNorm needs no cross-device stat sync.
+  * InstanceNorm is GroupNorm with one group per channel.
+  * The hourglass's bicubic align_corners upsample is jax.image.resize
+    'bicubic' (half-pixel); since training is from scratch this boundary
+    convention difference does not affect parity of capability.
+  * Replication padding = jnp.pad(mode='edge').
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax.nn.initializers import he_normal, zeros
+
+
+def _conv(out_ch, kernel, stride=1, use_bias=True, padding="SAME"):
+    return nn.Conv(
+        out_ch,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        use_bias=use_bias,
+        kernel_init=he_normal(),
+        bias_init=zeros,
+    )
+
+
+def _deconv2x(out_ch, kernel=3, use_bias=True):
+    """2x upsampling transposed conv (torch k3 s2 p1 op1 equivalent size)."""
+    return nn.ConvTranspose(
+        out_ch,
+        (kernel, kernel),
+        strides=(2, 2),
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=he_normal(),
+        bias_init=zeros,
+    )
+
+
+def avg_pool2(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def replication_pad(x, pad):
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+def group_norm(ch):
+    return nn.GroupNorm(num_groups=min(32, ch))
+
+
+def instance_norm():
+    """InstanceNorm2d affine=False: per-sample per-channel normalization."""
+    return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False)
+
+
+class ConvBlock(nn.Module):
+    """Pre-activation multi-scale residual block (reference ConvBlock,
+    src/utils.py:416-474): three 3x3 convs at C/2, C/4, C/4 whose outputs are
+    concatenated, plus a 1x1-projected residual when widths differ."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h1 = _conv(self.out_ch // 2, 3, use_bias=False)(nn.relu(group_norm(in_ch)(x)))
+        h2 = _conv(self.out_ch // 4, 3, use_bias=False)(nn.relu(group_norm(self.out_ch // 2)(h1)))
+        h3 = _conv(self.out_ch // 4, 3, use_bias=False)(nn.relu(group_norm(self.out_ch // 4)(h2)))
+        out = jnp.concatenate([h1, h2, h3], axis=-1)
+        res = x
+        if in_ch != self.out_ch:
+            res = _conv(self.out_ch, 1, use_bias=False)(nn.relu(group_norm(in_ch)(x)))
+        return out + res
+
+
+class HourGlass(nn.Module):
+    """Recursive hourglass (reference src/utils.py:261-309)."""
+
+    depth: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        up1 = ConvBlock(self.features)(x)
+        low = ConvBlock(self.features)(avg_pool2(x))
+        if self.depth > 1:
+            low = HourGlass(self.depth - 1, self.features)(low)
+        else:
+            low = ConvBlock(self.features)(low)
+        low = ConvBlock(self.features)(low)
+        up2 = jax.image.resize(
+            low, (low.shape[0], low.shape[1] * 2, low.shape[2] * 2, low.shape[3]), "bicubic"
+        )
+        return up1 + up2
+
+
+class HGFilter(nn.Module):
+    """Stacked-hourglass geometry encoder.
+
+    Input:  (V, H, W, 3) images scaled to [-1, 1].
+    Output: list [coarse (V, H/4, W/4, out_ch), hires (V, H/2, W/2, out_ch_hd)].
+    """
+
+    n_stack: int = 1
+    n_downsample: int = 4
+    out_ch: int = 64
+    out_ch_hd: int = 8
+    hd: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(group_norm(64)(_conv(64, 7, stride=2)(x)))
+        x = ConvBlock(128)(x)
+
+        # hi-res branch: deconv 128->32 + GN + relu, then 5x5 conv -> out_ch_hd
+        hd = nn.relu(group_norm(32)(_deconv2x(32, use_bias=False)(x)))
+        x_hd = _conv(self.out_ch_hd, 5)(hd)
+
+        if not self.hd:
+            x = avg_pool2(x)
+        x = ConvBlock(128)(x)
+        x = ConvBlock(256)(x)
+
+        previous = x
+        out = None
+        for i in range(self.n_stack):
+            hg = HourGlass(self.n_downsample, 256)(previous)
+            ll = ConvBlock(256)(hg)
+            ll = nn.relu(group_norm(256)(_conv(256, 1)(ll)))
+            out = _conv(self.out_ch, 1)(ll)
+            if i < self.n_stack - 1:
+                previous = previous + _conv(256, 1)(ll) + _conv(256, 1)(out)
+        return [out, x_hd]
+
+
+class ResBlk(nn.Module):
+    """Replication-padded residual block with InstanceNorm (reference
+    src/utils.py:199-214)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = _conv(self.ch, 3, padding="VALID")(replication_pad(x, 1))
+        h = nn.relu(instance_norm()(h))
+        h = _conv(self.ch, 3, padding="VALID")(replication_pad(h, 1))
+        h = instance_norm()(h)
+        return x + h
+
+
+class ResBlkEncoder(nn.Module):
+    """Texture encoder-decoder (reference src/utils.py:216-259).
+
+    Input:  (V, H, W, 3) in [-1, 1].
+    Output: (V, H/2, W/2, out_ch) for n_downsample=3, n_upsample=2.
+    """
+
+    out_ch: int = 8
+    ngf: int = 64
+    n_downsample: int = 3
+    n_blocks: int = 4
+    n_upsample: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv(self.ngf, 7, padding="VALID")(replication_pad(x, 3))
+        x = nn.relu(instance_norm()(x))
+        for i in range(self.n_downsample):
+            mult = 2**i
+            x = _conv(self.ngf * mult * 2, 3, stride=2)(x)
+            x = nn.relu(instance_norm()(x))
+        for _ in range(self.n_blocks):
+            x = ResBlk(self.ngf * 2**self.n_downsample)(x)
+        for i in range(self.n_upsample):
+            mult = 2 ** (self.n_downsample - i)
+            x = _deconv2x(self.ngf * mult // 2)(x)
+            x = nn.relu(instance_norm()(x))
+        if self.n_upsample > 0:
+            mult = 2 ** (self.n_downsample - self.n_upsample + 1)
+            x = _conv(self.out_ch, 7, padding="VALID")(replication_pad(x, 3))
+        return x

@@ -1,0 +1,82 @@
+"""IBRNet-style color blending head (Flax).
+
+Semantics of the reference IBRRenderingHead (src/model.py:1239-1302): encode
+per-view ray differences, compute anisotropy-weighted view statistics, run a
+small residual/visibility MLP, and softmax-blend the *source-view RGB* with
+the predicted per-view logits. Layout here is (R, S, V, C) = (rays, samples,
+views, channels), identical to the reference's reshape target — the V axis is
+tiny (2-4), so all matmuls contract over C and batch over R*S*V.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+from jax.nn.initializers import he_normal, zeros, constant
+
+
+def _dense(feats):
+    return nn.Dense(feats, kernel_init=he_normal(), bias_init=zeros)
+
+
+def weighted_mean_var(x, w):
+    """Weighted mean/variance over the view axis (reference
+    `fused_mean_variance`, src/utils.py:91-95). x,w: (..., V, C)."""
+    mean = jnp.sum(x * w, axis=-2, keepdims=True)
+    var = jnp.sum(w * (x - mean) ** 2, axis=-2, keepdims=True)
+    return mean, var
+
+
+class IBRRenderingHead(nn.Module):
+    """Predict per-sample RGB by blending source-view pixels."""
+
+    in_feat_ch: int = 32  # rgb_feat width = in_feat_ch + 3
+
+    @nn.compact
+    def __call__(self, rgb_feats, ray_diffs, proj_mask):
+        """
+        Args:
+          rgb_feats: (R, S, V, in_feat_ch + 3) [src RGB | tex feat | geo latent].
+          ray_diffs: (R, S, V, 4) [unit ray-difference dir, dot product].
+          proj_mask: (R, S, V, 1) validity of each view's projection.
+        Returns:
+          (R, S, 3) blended colors.
+        """
+        V = rgb_feats.shape[-2]
+        width = self.in_feat_ch + 3
+
+        ani_al = self.param("ani_al", constant(0.2), ())
+
+        dir_feat = _dense(16)(ray_diffs)
+        dir_feat = nn.elu(dir_feat)
+        dir_feat = _dense(width)(dir_feat)
+        dir_feat = nn.elu(dir_feat)
+
+        src_rgb = rgb_feats[..., :3]
+        feats = jnp.concatenate(
+            [rgb_feats[..., :width] + dir_feat, rgb_feats[..., width:]], axis=-1
+        )
+
+        dot = ray_diffs[..., 3:4]
+        exp_dot = jnp.exp(jnp.abs(ani_al) * (dot - 1.0))
+        w = (exp_dot - jnp.min(exp_dot, axis=-2, keepdims=True)) * proj_mask
+        w = w / (jnp.sum(w, axis=-2, keepdims=True) + 1e-8)
+
+        mean, var = weighted_mean_var(feats, w)
+        fused = jnp.concatenate([mean, var], axis=-1)  # (R, S, 1, 2*width)
+        fused = jnp.broadcast_to(fused, fused.shape[:-2] + (V, fused.shape[-1]))
+
+        x = jnp.concatenate([fused, feats], axis=-1)  # (R, S, V, 3*width)
+        x = nn.elu(_dense(64)(x))
+        x = nn.elu(_dense(32)(x))
+
+        pred = nn.elu(_dense(33)(nn.elu(_dense(32)(x * w))))
+        res, vis = pred[..., :-1], pred[..., -1:]
+        x = x + res
+        vis = nn.sigmoid(_dense(1)(nn.elu(_dense(32)(x * nn.sigmoid(vis) * proj_mask))))
+        vis = vis * proj_mask
+
+        x = jnp.concatenate([x, vis, ray_diffs], axis=-1)  # (..., 32+1+4)
+        x = _dense(1)(nn.elu(_dense(8)(nn.elu(_dense(16)(x)))))
+        logits = jnp.where(proj_mask == 0.0, -1e9, x)
+        blend = nn.softmax(logits, axis=-2)
+        return jnp.sum(src_rgb * blend, axis=-2)

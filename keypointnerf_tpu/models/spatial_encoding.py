@@ -1,0 +1,126 @@
+"""Relative spatial encoding of 3D keypoints — the paper's core idea.
+
+Functional (stateless) reimplementation of the reference SpatialEncoder
+(src/spatial.py:9-135) covering all nine `sp_type` variants. The default for
+ZJU is `rel_z_decay` (configs/zju.json:39-45): per-view camera-space depth
+deltas to K keypoints, sin/cos positionally encoded at `sp_level` octaves and
+weighted by a Gaussian 3D-distance decay exp(-||dxyz||^2 / 2 sigma^2).
+
+Everything here is a handful of broadcasts + transcendentals; it fuses
+directly into the surrounding point-query pipeline under XLA and is inlined
+into the Pallas point-query kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialEncodingConfig:
+    sp_level: int = 3
+    sp_type: str = "rel_z_decay"
+    scale: float = 1.0
+    sigma: float = 0.1
+    n_kpt: int = 24
+    center: tuple = (0.0, 0.0, 0.0)
+
+
+def spatial_encoding_dim(cfg: SpatialEncodingConfig) -> int:
+    """Output feature width (reference src/spatial.py:49-61 `get_dim`)."""
+    t = cfg.sp_type
+    if t in ("z", "rel_z", "rel_z_decay"):
+        if "rel" in t:
+            return (1 + 2 * cfg.sp_level) * cfg.n_kpt
+        return 1 + 2 * cfg.sp_level
+    if "xyz" in t:
+        if "rel" in t:
+            return (1 + 2 * cfg.sp_level) * 3 * cfg.n_kpt
+        return (1 + 2 * cfg.sp_level) * 3
+    return 0
+
+
+def positional_encoding(x, n_levels, scale=1.0):
+    """[x, sin(pi x), cos(pi x), sin(2 pi x), cos(2 pi x), ...].
+
+    Matches reference src/spatial.py:23-47: output layout is x followed by
+    level-major (sin_block, cos_block) pairs, i.e. viewed as
+    (..., 1 + 2 L, C) groups — the decay weighting below relies on this.
+
+    Args:
+      x: (..., C).
+    Returns:
+      (..., (1 + 2 * n_levels) * C).
+    """
+    if n_levels <= 0:
+        return x
+    freqs = scale * np.pi * (2.0 ** np.arange(n_levels))  # (L,)
+    y = x[..., None, :] * jnp.asarray(freqs, x.dtype)[:, None]  # (..., L, C)
+    z = jnp.concatenate([jnp.sin(y), jnp.cos(y)], axis=-1)  # (..., L, 2C)
+    z = z.reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, z], axis=-1)
+
+
+def spatial_encode(
+    cfg: SpatialEncodingConfig,
+    pts_world,      # (N, 3) query points in world space
+    pts_cam,        # (V, N, 3) query points in each source camera frame
+    kpt_world,      # (K, 3) 3D keypoints in world space
+    kpt_cam,        # (V, K, 3) keypoints in each source camera frame
+    z_ndc=None,     # (V, N, 1) NDC depth (for sp_type == "z"/"ixyz")
+    xy_ndc=None,    # (V, N, 2) NDC xy (for sp_type == "ixyz")
+    model_T=None,   # (4, 4) world->model transform (for "mxyz"/"rel_mxyz")
+):
+    """Compute the spatial encoding for every (view, point) pair.
+
+    Returns (V, N, D) with D = spatial_encoding_dim(cfg), or None for
+    unknown types (reference returns None too).
+    """
+    t = cfg.sp_type
+    L = cfg.sp_level
+    s = cfg.scale
+    V = pts_cam.shape[0]
+
+    if t == "z":
+        return positional_encoding(z_ndc, L)
+    if t == "ixyz":
+        return positional_encoding(jnp.concatenate([xy_ndc, z_ndc], -1), L)
+    if t == "cxyz":
+        return positional_encoding(pts_cam, L)
+    if t == "wxyz":
+        center = jnp.asarray(cfg.center, pts_world.dtype)
+        out = positional_encoding(s * (pts_world - center), L)
+        return jnp.broadcast_to(out, (V,) + out.shape)
+    if t == "mxyz":
+        m = pts_world @ model_T[:3, :3].T + model_T[:3, 3]
+        out = positional_encoding(s * m, L)
+        return jnp.broadcast_to(out, (V,) + out.shape)
+
+    # relative variants need keypoints
+    if t == "rel_z":
+        dz = s * (pts_cam[:, :, None, 2] - kpt_cam[:, None, :, 2])  # (V, N, K)
+        return positional_encoding(dz, L)
+    if t == "rel_z_decay":
+        dz = s * (pts_cam[:, :, None, 2] - kpt_cam[:, None, :, 2])  # (V, N, K)
+        pe = positional_encoding(dz, L)  # (V, N, (1+2L) K), group layout (1+2L, K)
+        dxyz = pts_cam[:, :, None, :] - kpt_cam[:, None, :, :]  # (V, N, K, 3)
+        w = jnp.exp(-jnp.sum(dxyz * dxyz, -1) / (2.0 * cfg.sigma**2))  # (V, N, K)
+        pe = pe.reshape(*pe.shape[:-1], 1 + 2 * L, cfg.n_kpt) * w[..., None, :]
+        return pe.reshape(*pe.shape[:-2], -1)
+    if t == "rel_cxyz":
+        d = s * (pts_cam[:, :, None, :] - kpt_cam[:, None, :, :])  # (V, N, K, 3)
+        return positional_encoding(d.reshape(V, d.shape[1], -1), L)
+    if t == "rel_wxyz":
+        d = pts_world[None, :, None, :] - kpt_world[None, None, :, :]
+        d = jnp.broadcast_to(d, (V,) + d.shape[1:])
+        return positional_encoding(d.reshape(V, d.shape[1], -1), L)
+    if t == "rel_mxyz":
+        m = pts_world @ model_T[:3, :3].T + model_T[:3, 3]
+        km = kpt_world @ model_T[:3, :3].T + model_T[:3, 3]
+        d = s * (m[:, None, :] - km[None, :, :])  # (N, K, 3)
+        out = positional_encoding(d.reshape(d.shape[0], -1), L)
+        return jnp.broadcast_to(out, (V,) + out.shape)
+
+    return None
