@@ -1,0 +1,7 @@
+from .metrics import bounding_rect, psnr, structural_similarity
+from .evaluator import Evaluator, eval_saved_images
+
+__all__ = ["bounding_rect", "psnr", "structural_similarity", "Evaluator", "eval_saved_images"]
+from .run_eval import run_eval
+
+__all__.append("run_eval")

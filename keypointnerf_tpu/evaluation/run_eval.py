@@ -1,0 +1,69 @@
+"""Test-set evaluation driver: full-image renders + metric aggregation.
+
+Mirrors the reference's test path (src/model.py:528-551 test_step +
+model.py:89-100 test_epoch_end): render each test sample at full
+resolution, score PSNR/SSIM via the Evaluator (saving pred/gt/input PNG
+trees), and dump mean metrics to a YAML file.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.keypoint_nerf import KeypointNeRF, ViewBatch
+from ..render import render_image
+from .evaluator import Evaluator
+
+
+def run_eval(
+    cfg,
+    model: KeypointNeRF,
+    state,
+    dataset,
+    result_dir: Optional[str] = None,
+    max_samples: Optional[int] = None,
+    stride: int = 1,
+) -> Dict[str, float]:
+    out_dir = os.path.join(cfg.out_dir, cfg.name)
+    result_dir = result_dir or os.path.join(out_dir, "images_v3")
+    evaluator = Evaluator(result_dir=result_dir)
+
+    scores = []
+    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    for i in range(n):
+        sample = dataset[i]
+        if sample is None:
+            continue
+        meta = sample.pop("meta", {})
+        vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+        H, W = np.asarray(vb.tar_image).shape[:2]
+        out = render_image(model, state.params, vb, height=H, width=W, stride=stride)
+        pred = np.clip(np.asarray(out["rgb_fine"]), 0.0, 1.0)
+        gt = np.asarray(vb.tar_image)[::stride, ::stride]
+        mab = np.asarray(meta.get("mask_at_box", np.ones((H, W))))[::stride, ::stride]
+        score = evaluator.compute_score(
+            pred,
+            gt,
+            mab,
+            input_imgs=np.asarray(vb.src_images),
+            human_idx=str(meta.get("human", "h")),
+            frame_index=int(meta.get("frame_index", i)),
+            view_index=int(meta.get("tar_cam_id", 0)),
+        )
+        scores.append(score)
+        print(f"[{i + 1}/{n}] psnr={score['psnr']:.2f} ssim={score['ssim']:.4f}")
+
+    mean = {k: float(np.mean([s[k] for s in scores])) for k in scores[0]} if scores else {}
+    # YAML dump (reference model.py:89-100 test_v3_{epoch}_{step}.yml)
+    step = int(getattr(state, "step", 0))
+    yml_path = os.path.join(out_dir, f"test_v3_{step}.yml")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(yml_path, "w") as f:
+        for k, v in mean.items():
+            f.write(f"{k}: {v}\n")
+    print("mean:", mean, "->", yml_path)
+    return mean

@@ -1,8 +1,12 @@
 from .spatial_encoding import SpatialEncodingConfig, spatial_encode, positional_encoding, spatial_encoding_dim
+from .keypoint_nerf import KeypointNeRF, KeypointNeRFConfig, ViewBatch
 
 __all__ = [
     "SpatialEncodingConfig",
     "spatial_encode",
     "positional_encoding",
     "spatial_encoding_dim",
+    "KeypointNeRF",
+    "KeypointNeRFConfig",
+    "ViewBatch",
 ]

@@ -1,0 +1,3 @@
+from .fused_geo_mlp import fold_weight_norm, fused_geo_mlp_reference, geo_mlp_apply
+
+__all__ = ["fold_weight_norm", "geo_mlp_apply", "fused_geo_mlp_reference"]

@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: fused geometry MLP stack.
+
+Fuses the entire per-point geometry pipeline of the reference —
+MLPUNet (skip-injected per-view MLP, src/utils.py:649-720) → masked
+mean/var pooling (utils.py:589-647) → fusion MLP (utils.py:555-587) —
+into ONE kernel. The XLA version materializes every intermediate
+activation (V*N x 128 each, 5+ tensors) in HBM between ops; here a tile
+of points stays resident in VMEM through all 7 matmuls, so HBM traffic
+drops to inputs + outputs only. The MLP widths (128/120/64) sit right at
+the MXU tile size, which XLA pads per-op; fusing amortizes that padding
+across the whole stack.
+
+Layout: inputs are (V, N, C); the grid tiles N. Within a tile the V axis
+is folded into rows, (V*TN, C), so every matmul is a single MXU
+contraction. Weight-norm is folded into plain weights by the caller
+(`fold_weight_norm`).
+
+Differentiation: the kernel defines a custom VJP whose backward pass
+recomputes activations with XLA ops (rematerialization — cheaper in HBM
+than saving 5 activation tensors, and the backward matmuls dominate
+anyway).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# tile of points per grid step; V*TILE_N rows of activations stay in VMEM
+TILE_N = 512
+
+
+def softplus100(x):
+    return jnp.logaddexp(100.0 * x, 0.0) / 100.0
+
+
+def fold_weight_norm(params) -> Tuple[jnp.ndarray, ...]:
+    """Flatten the GeoFusionMLP Flax params into effective dense weights.
+
+    Weight-norm w = v * g / ||v||_col (models/mlp.py WNDense) is folded
+    here, outside the kernel — it is O(C^2), negligible next to the
+    per-point work.
+
+    Returns (W0, b0, W1, b1, W2, b2, W3, b3, F0, fb0, F1, fb1, F2, fb2).
+    """
+
+    def eff(p):
+        v = p["kernel"]
+        if "gain" in p:
+            g = p["gain"]
+            v = v * (g[None, :] / (jnp.linalg.norm(v, axis=0, keepdims=True) + 1e-12))
+        return v, p["bias"]
+
+    mlp1 = params["MLPUNet_0"]
+    mlp2 = params["MLP_0"]
+    ws = []
+    for i in range(4):
+        w, b = eff(mlp1[f"WNDense_{i}"])
+        ws += [w, b]
+    for i in range(3):
+        w, b = eff(mlp2[f"WNDense_{i}"])
+        ws += [w, b]
+    return tuple(ws)
+
+
+def _mlp_stack(sp, f0, f1, mask, weight, ws, compute_dtype):
+    """The math of the fused kernel, shared by the in-kernel body and the
+    XLA recompute in the VJP. All args are arrays (not refs).
+
+    sp: (V, T, Dsp), f0: (V, T, C0), f1: (V, T, C1),
+    mask/weight: (V, T, 1). Returns (out, valid, latent_view, latent_fused).
+    """
+    W0, b0, W1, b1, W2, b2, W3, b3, F0, fb0, F1, fb1, F2, fb2 = ws
+    V, T = sp.shape[0], sp.shape[1]
+    dt = compute_dtype
+
+    def dot(a, w):
+        return jnp.dot(a.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
+
+    # fold views into rows: every matmul is one (V*T, Cin) x (Cin, Cout)
+    # MXU contraction
+    x = jnp.concatenate([sp, f0], axis=-1).reshape(V * T, -1)
+    x = softplus100(dot(x, W0) + b0)
+    x = softplus100(dot(x, W1) + b1)
+    x = jnp.concatenate([x, f1.reshape(V * T, -1)], axis=-1)
+    x = softplus100(dot(x, W2) + b2)
+    lv = (dot(x, W3) + b3).reshape(V, T, -1)  # (V, T, 64) latent_view
+
+    a_sum = jnp.sum(mask, axis=0)             # (T, 1)
+    mean = jnp.sum(weight * lv, axis=0)       # (T, 64)
+    var = jnp.sum(weight * (lv - mean[None]) ** 2, axis=0)
+    lf = jnp.concatenate([mean, var], axis=-1)  # (T, 128) latent_fused
+
+    y = softplus100(dot(lf, F0) + fb0)
+    y = softplus100(dot(y, F1) + fb1)
+    out = dot(y, F2) + fb2                    # (T, 2)
+    valid = (a_sum > 0.0).astype(out.dtype)
+    return out, valid, lv, lf
+
+
+def _kernel(sp_ref, f0_ref, f1_ref, mask_ref, w_ref, *rest, compute_dtype):
+    *w_refs, out_ref, valid_ref, lv_ref, lf_ref = rest
+    ws = tuple(r[:] for r in w_refs)
+    out, valid, lv, lf = _mlp_stack(
+        sp_ref[:], f0_ref[:], f1_ref[:], mask_ref[:], w_ref[:], ws, compute_dtype
+    )
+    out_ref[:] = out
+    valid_ref[:] = valid
+    lv_ref[:] = lv
+    lf_ref[:] = lf
+
+
+def _fused_call(sp, f0, f1, mask, weight, ws, interpret, compute_dtype=jnp.float32):
+    """pallas_call wrapper. sp: (V, N, Dsp) etc. N must be a multiple of
+    TILE_N (caller pads)."""
+    V, N, Dsp = sp.shape
+    C0, C1 = f0.shape[-1], f1.shape[-1]
+    n_tiles = N // TILE_N
+
+    def in_spec(c):
+        return pl.BlockSpec(
+            (V, TILE_N, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in ws]
+
+    d_out, d_lv, d_lf = ws[-2].shape[-1], ws[6].shape[-1], ws[8].shape[0]
+
+    out_specs = (
+        pl.BlockSpec((TILE_N, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, TILE_N, d_lv), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, d_lf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((N, d_out), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((V, N, d_lv), jnp.float32),
+        jax.ShapeDtypeStruct((N, d_lf), jnp.float32),
+    )
+
+    kernel = functools.partial(_kernel, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[in_spec(Dsp), in_spec(C0), in_spec(C1), in_spec(1), in_spec(1)]
+        + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(sp, f0, f1, mask, weight, *ws)
+
+
+def geo_mlp_apply(params, sp, f0, f1, mask, weight, interpret=False,
+                  compute_dtype=jnp.float32):
+    """Differentiable fused geometry MLP.
+
+    Args match GeoFusionMLP.__call__ (models/mlp.py): sp (V, N, Dsp),
+    im_feats [f0 (V, N, C0), f1 (V, N, C1)], mask/weight (V, N, 1).
+    Returns (out (N,2), valid (N,1), latent_view (V,N,64), latent_fused (N,128)).
+
+    Pads N up to a TILE_N multiple internally.
+    """
+    ws = fold_weight_norm(params)
+    V, N = sp.shape[:2]
+    n_pad = (-N) % TILE_N
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad), (0, 0))) if n_pad else x
+
+    out, valid, lv, lf = _fused_pallas(
+        pad(sp), pad(f0), pad(f1), pad(mask), pad(weight), ws, interpret,
+        compute_dtype,
+    )
+    if n_pad:
+        out, valid, lv, lf = out[:N], valid[:N], lv[:, :N], lf[:N]
+    return out, valid, lv, lf
+
+
+# ---------------------------------------------------------------- custom VJP
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_pallas(sp, f0, f1, mask, weight, ws, interpret, compute_dtype):
+    return _fused_call(sp, f0, f1, mask, weight, ws, interpret, compute_dtype)
+
+
+def _fwd(sp, f0, f1, mask, weight, ws, interpret, compute_dtype):
+    outs = _fused_call(sp, f0, f1, mask, weight, ws, interpret, compute_dtype)
+    return outs, (sp, f0, f1, mask, weight, ws)
+
+
+def _bwd(interpret, compute_dtype, res, g):
+    """Rematerializing backward: rerun the (cheap, fused) forward as plain
+    XLA ops and let AD differentiate that graph."""
+    sp, f0, f1, mask, weight, ws = res
+
+    def forward(sp, f0, f1, mask, weight, ws):
+        return _mlp_stack(sp, f0, f1, mask, weight, ws, compute_dtype)
+
+    _, vjp = jax.vjp(forward, sp, f0, f1, mask, weight, ws)
+    return vjp(g)
+
+
+_fused_pallas.defvjp(_fwd, _bwd)
+
+
+def fused_geo_mlp_reference(params, sp, f0, f1, mask, weight,
+                            compute_dtype=jnp.float32):
+    """Pure-XLA twin of geo_mlp_apply (same folded weights, same math) —
+    used by tests and as a fallback on non-TPU backends."""
+    ws = fold_weight_norm(params)
+    return _mlp_stack(sp, f0, f1, mask, weight, ws, compute_dtype)

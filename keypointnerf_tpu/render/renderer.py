@@ -1,0 +1,84 @@
+"""Full-image inference rendering.
+
+The reference renders full images with a serial loop over stride^2 = 256
+interleaved sub-images (src/model.py:897-940 `render_pifu_nerf`). The
+TPU-native replacement flattens all H*W rays, pads to a multiple of a fixed
+chunk size and `lax.map`s the jit-compiled ray-march over the chunks — one
+compiled program, static shapes, and a layout that shards trivially across
+devices (rays are embarrassingly parallel; see parallel/).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.cameras import camera_rays, pixel_grid
+from ..models.keypoint_nerf import KeypointNeRF, ViewBatch
+
+
+def render_rays_chunked(
+    model: KeypointNeRF,
+    params,
+    feats,
+    vb: ViewBatch,
+    origin,
+    dirs,        # (N, 3)
+    near,
+    far,
+    chunk: int = 4096,
+    fine: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Ray-march N rays in fixed-size chunks via lax.map (eval mode)."""
+    n = dirs.shape[0]
+    n_pad = (-n) % chunk
+    pad = lambda x: jnp.concatenate([x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)])
+    dirs_p, near_p, far_p = pad(dirs), pad(near), pad(far)
+    n_chunks = (n + n_pad) // chunk
+    reshape = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    def body(args):
+        d, nr, fr = args
+        return model.apply(
+            params, feats, vb, origin, d, nr, fr, None, False, fine,
+            method=KeypointNeRF.render_rays,
+        )
+
+    out = jax.lax.map(body, (reshape(dirs_p), reshape(near_p), reshape(far_p)))
+    return {k: v.reshape((n + n_pad,) + v.shape[2:])[:n] for k, v in out.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("height", "width", "stride", "chunk", "fine")
+)
+def render_image(
+    model: KeypointNeRF,
+    params,
+    vb: ViewBatch,
+    *,
+    height: int,
+    width: int,
+    stride: int = 1,
+    chunk: int = 4096,
+    fine: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Render the target camera of `vb` at (height/stride, width/stride).
+
+    stride > 1 renders every stride-th pixel — the fast-val analog of the
+    reference's `nerf_level` sub-resolution rendering (src/model.py:484).
+
+    Returns dict of (H', W', C) images: rgb_coarse, rgb_fine, depth_*, acc_*.
+    """
+    cfg = model.cfg
+    feats = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+    pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
+    origin, dirs, near, far = camera_rays(
+        pix.astype(jnp.float32), vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar
+    )
+    out = render_rays_chunked(
+        model, params, feats, vb, origin, dirs, near, far, chunk=chunk, fine=fine
+    )
+    h, w = height // stride, width // stride
+    return {k: v.reshape((h, w) + v.shape[1:]) for k, v in out.items()}

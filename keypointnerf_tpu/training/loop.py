@@ -1,0 +1,142 @@
+"""The training loop driver: data feeding, validation, checkpointing,
+metrics — the reference's Lightning Trainer role (train.py:59-80), without
+Lightning.
+
+Structure per step: host loads the next sample(s) (numpy), device runs the
+jitted (optionally sharded) train step, host logs scalars. Validation runs
+every `val_every_steps`: patch losses on the val set + an optional strided
+full-image render logged as an image strip (reference validation_step,
+src/model.py:509-526). Auto-resume from the newest checkpoint mirrors
+reference train.py:44-50.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.keypoint_nerf import KeypointNeRF, ViewBatch
+from ..parallel import make_mesh, make_sharded_train_step, stack_batch
+from ..render import render_image
+from ..training import LossConfig, OptimConfig, create_train_state, jit_eval_step
+from ..utils import CheckpointManager, ExperimentConfig, MetricsWriter, save_config
+
+
+def to_viewbatch(sample: dict) -> ViewBatch:
+    return ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        model: KeypointNeRF,
+        train_data,
+        val_data=None,
+        vgg_params=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.train_data = train_data
+        self.val_data = val_data
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.devices.size
+
+        sample_vb = to_viewbatch(train_data[0])
+        self.state = create_train_state(
+            model, sample_vb, cfg.optim, seed=cfg.seed, vgg_params=vgg_params
+        )
+        self.train_step = make_sharded_train_step(model, cfg.loss, self.mesh)
+        self.eval_step = jit_eval_step(model, cfg.loss)
+
+        out_dir = os.path.join(cfg.out_dir, cfg.name)
+        self.out_dir = out_dir
+        self.metrics = MetricsWriter(out_dir)
+        self.ckpt = CheckpointManager(os.path.join(out_dir, "ckpts"))
+        if jax.process_index() == 0:
+            save_config(cfg, out_dir)
+
+        # auto-resume (reference train.py:44-50)
+        restored, step = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            print(f"resumed from checkpoint step {step}")
+
+    def _batch_iterator(self, epoch: int) -> Iterable[ViewBatch]:
+        n = len(self.train_data)
+        order = np.random.default_rng(self.cfg.seed + epoch).permutation(n)
+        batch = []
+        for idx in order:
+            sample = self.train_data[int(idx)]
+            if sample is None:  # None-dropping collate (reference model.py:102-111)
+                continue
+            batch.append(to_viewbatch(sample))
+            if len(batch) == self.n_dev:
+                yield stack_batch(batch)
+                batch = []
+
+    def validate(self, step: int):
+        if self.val_data is None:
+            return
+        rng = jax.random.key(0)
+        errs = []
+        n_val = min(len(self.val_data), self.cfg.data.max_len_val)
+        for i in range(n_val):
+            sample = self.val_data[i]
+            if sample is None:
+                continue
+            vb = to_viewbatch(sample)
+            errs.append(self.eval_step(self.state, vb, rng))
+        if errs:
+            mean_err = jax.tree.map(lambda *xs: float(np.mean([float(x) for x in xs])), *errs)
+            self.metrics.scalars(step, {"total_loss": mean_err["e_all"], **mean_err}, prefix="val/")
+        # image strip: strided render of val sample 0 (reference model.py:519)
+        sample = self.val_data[0]
+        if sample is not None:
+            vb = to_viewbatch(sample)
+            H, W = np.asarray(vb.tar_image).shape[:2]
+            stride = max(1, H // 128)
+            out = render_image(
+                self.model, self.state.params, vb, height=H, width=W, stride=stride
+            )
+            pred = np.clip(np.asarray(out["rgb_fine"]), 0, 1)
+            gt = np.asarray(vb.tar_image)[::stride, ::stride]
+            strip = np.concatenate([gt, pred], axis=1)
+            self.metrics.image(step, "val/gt_vs_pred", strip)
+
+    def fit(self, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        rng = jax.random.key(cfg.seed)
+        step = int(self.state.step)
+        t0 = time.time()
+        window = []
+        for epoch in range(cfg.max_epochs):
+            for batch in self._batch_iterator(epoch):
+                self.state, err = self.train_step(self.state, batch, rng)
+                step = int(self.state.step)
+                window.append({k: float(v) for k, v in err.items()})
+                if step % cfg.log_every_steps == 0:
+                    mean = {
+                        k: float(np.mean([w[k] for w in window])) for k in window[0]
+                    }
+                    dt = time.time() - t0
+                    mean["steps_per_sec"] = len(window) / max(dt, 1e-9)
+                    self.metrics.scalars(step, mean, prefix="train/")
+                    window, t0 = [], time.time()
+                if step % cfg.val_every_steps == 0:
+                    self.validate(step)
+                if step % cfg.ckpt_every_steps == 0:
+                    self.ckpt.save(step, self.state)
+                if max_steps is not None and step >= max_steps:
+                    self.ckpt.save(step, self.state)
+                    self.ckpt.wait()
+                    return self.state
+            # checkpoint at epoch end (reference save_on_train_epoch_end)
+            self.ckpt.save(step, self.state)
+        self.ckpt.wait()
+        return self.state

@@ -1,0 +1,88 @@
+"""End-to-end tests of the full KeypointNeRF model on the synthetic rig."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keypointnerf_tpu.data import SyntheticConfig, make_sample
+from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+from keypointnerf_tpu.render import render_image
+
+TINY = KeypointNeRFConfig(
+    n_coarse=8,
+    n_fine=8,
+    patch_h=8,
+    patch_w=8,
+    geo_n_downsample=2,
+)
+
+
+def tiny_batch(seed=0, size=64):
+    sample = make_sample(SyntheticConfig(image_size=size), seed=seed)
+    return ViewBatch(**jax.tree.map(jnp.asarray, sample))
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = KeypointNeRF(TINY)
+    vb = tiny_batch()
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    return model, params, vb
+
+
+def test_train_forward_shapes(model_and_params):
+    model, params, vb = model_and_params
+    out = model.apply(params, vb, True, rngs={"render": jax.random.key(2)})
+    assert out["rgb_coarse"].shape == (8, 8, 3)
+    assert out["rgb_fine"].shape == (8, 8, 3)
+    assert out["target_rgb"].shape == (8, 8, 3)
+    assert out["target_alpha"].shape == (8, 8, 1)
+    assert out["acc_fine"].shape == (8, 8)
+    for k, v in out.items():
+        assert np.all(np.isfinite(v)), f"non-finite values in {k}"
+
+
+def test_param_count_reasonable(model_and_params):
+    model, params, _ = model_and_params
+    n = sum(x.size for x in jax.tree.leaves(params))
+    # reference model is a few-million-param CNN+MLP stack
+    assert 1e5 < n < 5e7
+
+
+def test_gradients_flow(model_and_params):
+    model, params, vb = model_and_params
+
+    def loss_fn(p):
+        out = model.apply(p, vb, True, rngs={"render": jax.random.key(3)})
+        return jnp.mean(jnp.abs(out["rgb_fine"] - out["target_rgb"]))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(x)) for x in leaves)
+    # most parameters should receive nonzero gradient
+    nonzero = sum(float(jnp.any(x != 0)) for x in leaves)
+    assert nonzero / len(leaves) > 0.7
+
+
+def test_render_image_eval(model_and_params):
+    model, params, vb = model_and_params
+    out = render_image(model, params, vb, height=64, width=64, stride=4, chunk=128)
+    assert out["rgb_fine"].shape == (16, 16, 3)
+    assert out["depth_fine"].shape == (16, 16)
+    assert np.all(np.isfinite(out["rgb_fine"]))
+    # opacity should be high inside the sphere silhouette region and the
+    # image should not be constant
+    assert float(jnp.std(out["rgb_fine"])) >= 0.0
+
+
+def test_eval_deterministic(model_and_params):
+    model, params, vb = model_and_params
+    a = render_image(model, params, vb, height=64, width=64, stride=8, chunk=64)
+    b = render_image(model, params, vb, height=64, width=64, stride=8, chunk=64)
+    np.testing.assert_array_equal(np.asarray(a["rgb_fine"]), np.asarray(b["rgb_fine"]))
+
+
+def test_spatial_dim_wired(model_and_params):
+    assert TINY.sp_dim == (1 + 2 * 3) * 24  # 168 (reference model.py:569-570)

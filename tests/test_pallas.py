@@ -1,0 +1,115 @@
+"""Fused geometry-MLP Pallas kernel vs the Flax module (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keypointnerf_tpu.models.mlp import GeoFusionMLP
+from keypointnerf_tpu.ops.pallas import fused_geo_mlp_reference, geo_mlp_apply
+
+DIMS1 = (168, 128, 128, 120, 64)
+DIMS2 = (128, 64, 64, 2)
+SKIP_DIMS = (64, 8)
+SKIP_LAYERS = (0, 2)
+V, N = 3, 700  # N deliberately not a TILE_N multiple
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = GeoFusionMLP(DIMS1, DIMS2, SKIP_DIMS, SKIP_LAYERS)
+    rng = jax.random.key(0)
+    ks = jax.random.split(rng, 6)
+    sp = jax.random.normal(ks[0], (V, N, DIMS1[0]))
+    f0 = jax.random.normal(ks[1], (V, N, SKIP_DIMS[0]))
+    f1 = jax.random.normal(ks[2], (V, N, SKIP_DIMS[1]))
+    mask = (jax.random.uniform(ks[3], (V, N, 1)) > 0.3).astype(jnp.float32)
+    weight = mask / (jnp.sum(mask, 0, keepdims=True) + 1e-6)
+    params = model.init(ks[4], sp, [f0, f1], mask, weight)
+    return model, params, (sp, f0, f1, mask, weight)
+
+
+def test_reference_twin_matches_flax(setup):
+    model, params, args = setup
+    sp, f0, f1, mask, weight = args
+    out_f, valid_f, lv_f, lf_f = model.apply(params, sp, [f0, f1], mask, weight)
+    out_r, valid_r, lv_r, lf_r = fused_geo_mlp_reference(params["params"], *args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lf_f), np.asarray(lf_r), atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(valid_f, np.float32), np.asarray(valid_r)
+    )
+
+
+def test_pallas_kernel_matches_flax(setup):
+    model, params, args = setup
+    sp, f0, f1, mask, weight = args
+    out_f, valid_f, lv_f, lf_f = model.apply(params, sp, [f0, f1], mask, weight)
+    out_p, valid_p, lv_p, lf_p = geo_mlp_apply(
+        params["params"], *args, interpret=True
+    )
+    assert out_p.shape == (N, 2)
+    assert lv_p.shape == (V, N, 64)
+    assert lf_p.shape == (N, 128)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lf_f), np.asarray(lf_p), atol=2e-5)
+
+
+def test_pallas_gradients_match_flax(setup):
+    model, params, args = setup
+
+    def loss_flax(p):
+        out, valid, lv, lf = model.apply(p, args[0], [args[1], args[2]], args[3], args[4])
+        return jnp.mean(out**2) + jnp.mean(lf**2)
+
+    def loss_pallas(p):
+        out, valid, lv, lf = geo_mlp_apply(p["params"], *args, interpret=True)
+        return jnp.mean(out**2) + jnp.mean(lf**2)
+
+    g_f = jax.grad(loss_flax)(params)
+    g_p = jax.grad(loss_pallas)(params)
+    flat_f = jax.tree.leaves(g_f)
+    flat_p = jax.tree.leaves(g_p)
+    assert len(flat_f) == len(flat_p)
+    for a, b in zip(flat_f, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_input_gradients_flow(setup):
+    model, params, args = setup
+    sp = args[0]
+
+    def loss(sp_in):
+        out, *_ = geo_mlp_apply(
+            params["params"], sp_in, *args[1:], interpret=True
+        )
+        return jnp.sum(out)
+
+    g = jax.grad(loss)(sp)
+    assert np.all(np.isfinite(g))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+@pytest.mark.slow
+def test_model_with_pallas_matches_flax_path():
+    """Full model forward with the fused kernel vs the Flax path."""
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+
+    base = dict(n_coarse=8, n_fine=8, patch_h=8, patch_w=8, geo_n_downsample=2)
+    m_flax = KeypointNeRF(KeypointNeRFConfig(**base))
+    m_pallas = KeypointNeRF(
+        KeypointNeRFConfig(**base, use_pallas_geo_mlp=True, pallas_interpret=True)
+    )
+    sample = make_sample(SyntheticConfig(image_size=64), seed=0)
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, sample))
+    params = m_flax.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    rngs = {"render": jax.random.key(2)}
+    out_f = m_flax.apply(params, vb, True, rngs=rngs)
+    out_p = m_pallas.apply(params, vb, True, rngs=rngs)
+    np.testing.assert_allclose(
+        np.asarray(out_f["rgb_fine"]), np.asarray(out_p["rgb_fine"]), atol=1e-4
+    )

@@ -1,0 +1,82 @@
+"""Train-step tests: loss stack, one SGD step, overfit sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keypointnerf_tpu.data import SyntheticConfig, make_sample
+from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+from keypointnerf_tpu.training import (
+    LossConfig,
+    OptimConfig,
+    compute_losses,
+    create_train_state,
+    jit_train_step,
+    pix_loss,
+)
+
+TINY = KeypointNeRFConfig(n_coarse=8, n_fine=8, patch_h=8, patch_w=8, geo_n_downsample=2)
+
+
+def tiny_batch(seed=0):
+    sample = make_sample(SyntheticConfig(image_size=64), seed=seed)
+    return ViewBatch(**jax.tree.map(jnp.asarray, sample))
+
+
+def test_pix_loss_kinds():
+    a = jnp.ones((4, 4, 3)) * 0.5
+    b = jnp.zeros((4, 4, 3))
+    assert np.isclose(float(pix_loss(a, b, "l1")), 0.5)
+    assert np.isclose(float(pix_loss(a, b, "l2")), 0.25)
+    topk = float(pix_loss(a, b, "l1", top_percent=25.0))
+    assert np.isclose(topk, 1.5)  # channel-summed |diff| = 1.5 everywhere
+
+
+def test_compute_losses_terms():
+    out = {
+        "rgb_coarse": jnp.zeros((8, 8, 3)),
+        "rgb_fine": jnp.zeros((8, 8, 3)),
+        "acc_coarse": jnp.ones((8, 8)),
+        "acc_fine": jnp.ones((8, 8)),
+        "target_rgb": jnp.ones((8, 8, 3)) * 0.5,
+        "target_alpha": jnp.ones((8, 8, 1)),
+    }
+    cfg = LossConfig(lambda_mloss=0.1)
+    total, err = compute_losses(out, cfg, vgg_params=None)
+    # e_pix_c = 1.0*0.5, e_pix_l1 = 10*0.5, mask losses = 0
+    assert np.isclose(float(err["e_pix_c"]), 0.5)
+    assert np.isclose(float(err["e_pix_l1"]), 5.0)
+    assert np.isclose(float(err["mask_loss_f"]), 0.0, atol=1e-6)
+    assert np.isclose(float(total), float(err["e_all"]))
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss():
+    model = KeypointNeRF(TINY)
+    vb = tiny_batch()
+    state = create_train_state(model, vb, OptimConfig(learning_rate=2e-3))
+    step = jit_train_step(model, LossConfig(lambda_vgg=0.0))
+    rng = jax.random.key(0)
+    first = None
+    losses = []
+    for i in range(30):
+        state, err = step(state, vb, rng)
+        losses.append(float(err["e_all"]))
+        if first is None:
+            first = losses[-1]
+        assert np.isfinite(losses[-1])
+    # overfit sanity on a single sample: loss should drop substantially
+    assert np.mean(losses[-5:]) < 0.7 * first, losses
+
+
+def test_grad_accumulation_state():
+    model = KeypointNeRF(TINY)
+    vb = tiny_batch()
+    state = create_train_state(model, vb, OptimConfig(accumulate_steps=2))
+    step = jit_train_step(model, LossConfig(lambda_vgg=0.0))
+    p0 = jax.tree.leaves(state.params)[0]
+    state, _ = step(state, vb, jax.random.key(0))
+    # first microstep: params unchanged (accumulating)
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+    state, _ = step(state, vb, jax.random.key(0))
+    assert not np.array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))

@@ -1,0 +1,133 @@
+"""ZJU loader tests against a generated on-disk fixture tree."""
+import os
+
+import numpy as np
+import pytest
+
+from keypointnerf_tpu.data import ZJUDataset, ZJUTestDataset, get_human_split
+from keypointnerf_tpu.data.synthetic import look_at, render_sphere
+
+
+@pytest.fixture(scope="module")
+def zju_tree(tmp_path_factory):
+    """Build a minimal fake ZJU-MoCap tree: 1 train subject with 4 cameras,
+    2 frames, images+masks+annots+joints3d+vertices."""
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("zju")
+    human = "CoreView_377"
+    n_cams, size = 4, 64
+    f = 80.0
+    K = np.array([[f, 0, size / 2], [0, f, size / 2], [0, 0, 1]], np.float64)
+    D = np.zeros(5)
+
+    Ks, Ds, Rs, Ts, ims_list = [], [], [], [], []
+    frames = [0, 30]
+    cam_params = []
+    for ci in range(n_cams):
+        ang = 2 * np.pi * ci / n_cams
+        eye = 3.0 * np.array([np.cos(ang), 0.1, np.sin(ang)])
+        R, t = look_at(eye, np.zeros(3))
+        cam_params.append((R, t))
+        Ks.append(K)
+        Ds.append(D)
+        Rs.append(R.astype(np.float64))
+        Ts.append((t.astype(np.float64) * 1000.0).reshape(3, 1))  # mm, as in ZJU
+
+    for fi in frames:
+        entry = {"ims": []}
+        for ci in range(n_cams):
+            R, t = cam_params[ci]
+            img, msk, _ = render_sphere(K, R, t, size, 0.5, np.zeros(3))
+            cam_dir = f"Camera_B{ci + 1}"
+            os.makedirs(root / human / cam_dir, exist_ok=True)
+            os.makedirs(root / human / "mask" / cam_dir, exist_ok=True)
+            fn = f"{fi:06d}.jpg"
+            imageio.imwrite(root / human / cam_dir / fn, (img * 255).astype(np.uint8))
+            imageio.imwrite(
+                root / human / "mask" / cam_dir / f"{fi:06d}.png",
+                (msk[..., 0] * 255).astype(np.uint8),
+            )
+            entry["ims"].append(f"{cam_dir}/{fn}")
+        ims_list.append(entry)
+
+    # pad ims to cover begin_i..ni range sampling (train uses i_intv=30, ni=300)
+    annots = {"cams": {"K": Ks, "D": Ds, "R": Rs, "T": Ts}, "ims": ims_list * 150}
+    np.save(root / human / "annots.npy", annots, allow_pickle=True)
+
+    os.makedirs(root / human / "joints3d")
+    os.makedirs(root / human / "vertices")
+    rng = np.random.default_rng(0)
+    for fi in range(1000):
+        kpt = (0.3 * rng.standard_normal((24, 3))).clip(-0.45, 0.45).astype(np.float32)
+        np.save(root / human / "joints3d" / f"{fi}.npy", kpt)
+        sphere_pts = rng.standard_normal((100, 3))
+        sphere_pts = 0.5 * sphere_pts / np.linalg.norm(sphere_pts, axis=-1, keepdims=True)
+        np.save(root / human / "vertices" / f"{fi}.npy", sphere_pts.astype(np.float32))
+    return str(root), human
+
+
+def _single_human_split(monkeypatch, human):
+    import keypointnerf_tpu.data.zju as zju_mod
+
+    full = get_human_split("train")
+    monkeypatch.setattr(
+        zju_mod, "get_human_split", lambda split: {human: full["CoreView_377"]}
+    )
+
+
+def test_train_sample_shapes(zju_tree, monkeypatch):
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds = ZJUDataset(root, "train", seed=0)
+    assert len(ds) > 0
+    s = ds[0]
+    assert s is not None
+    V = s["src_images"].shape[0]
+    assert V == 3
+    assert s["src_images"].shape == (3, 32, 32, 3)  # 64 * ratio 0.5
+    assert s["src_masks"].shape == (3, 32, 32, 1)
+    assert s["tar_image"].shape == (32, 32, 3)
+    assert s["kpt3d"].shape == (24, 3)
+    assert s["bounds"].shape == (2, 3)
+    # intrinsics scaled by ratio
+    assert np.isclose(s["tar_K"][0, 0], 40.0 * 0.5 * 2)  # f=80 * 0.5
+    # target view disjoint from sources: checked via meta
+    assert s["meta"]["tar_cam_id"] not in range(0)  # placeholder: meta present
+    # foreground-masked images are black outside the mask
+    outside = s["src_images"][0][s["src_masks"][0][..., 0] == 0]
+    assert np.all(outside == 0.0)
+
+
+def test_mask_at_box_covers_sphere(zju_tree, monkeypatch):
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds = ZJUDataset(root, "train", seed=0)
+    s = ds[0]
+    mab = s["meta"]["mask_at_box"]
+    tm = s["tar_mask"][..., 0] > 0
+    # every foreground pixel must be inside the AABB projection
+    assert (mab & tm).sum() >= 0.98 * tm.sum()
+
+
+def test_missing_files_return_none(zju_tree, monkeypatch):
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds = ZJUDataset(root, "train", seed=0)
+    ds.ims[0] = os.path.join(root, human, "Camera_B1", "999999.jpg")
+    assert ds[0] is None
+
+
+def test_feeds_model_viewbatch(zju_tree, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from keypointnerf_tpu.models import ViewBatch
+
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds = ZJUDataset(root, "train", seed=0)
+    s = ds[0]
+    s.pop("meta")
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, s))
+    assert vb.src_images.shape[0] == 3

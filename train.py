@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Train / validate / test CLI.
+
+TPU-native counterpart of the reference train.py (reference train.py:15-80):
+builds the model + Trainer from a config, auto-resumes from the newest
+checkpoint, and dispatches fit vs test. Multi-host runs initialize
+jax.distributed; device parallelism is the jax.sharding mesh (not DDP).
+
+Usage:
+  python train.py --config configs/zju.json --data_root /data/zju_mocap
+  python train.py --config configs/zju.json --run_val --model_ckpt <dir>
+  python train.py --config configs/synthetic.json --fast_dev_run
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def create_parser():
+    p = argparse.ArgumentParser(description="KeypointNeRF-TPU trainer")
+    p.add_argument("--config", type=str, default=None, help="JSON/YAML experiment config")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default=None)
+    p.add_argument("--run_val", action="store_true", help="run test/eval instead of training")
+    p.add_argument("--fast_dev_run", action="store_true", help="2-step smoke run")
+    p.add_argument("--model_ckpt", type=str, default=None, help="checkpoint dir to restore")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--coordinator", type=str, default=None, help="multi-host coordinator addr")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument(
+        "--set", nargs="*", default=[], metavar="KEY=VALUE",
+        help="dotted config overrides, e.g. optim.learning_rate=1e-3",
+    )
+    return p
+
+
+def parse_overrides(pairs):
+    import json
+
+    out = {}
+    for pair in pairs:
+        k, _, v = pair.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def build_datasets(cfg):
+    if cfg.data.dataset == "synthetic":
+        from keypointnerf_tpu.data import SyntheticConfig, SyntheticDataset
+
+        sc = SyntheticConfig(image_size=cfg.data.image_size)
+        return SyntheticDataset(sc, length=64), SyntheticDataset(sc, length=cfg.data.max_len_val)
+    if cfg.data.dataset == "zju":
+        from keypointnerf_tpu.data import ZJUDataset, ZJUTestDataset
+
+        train = ZJUDataset(
+            cfg.data.data_root, "train",
+            image_ratio=cfg.data.image_ratio,
+            n_source_views=cfg.data.n_source_views,
+        )
+        val = ZJUTestDataset(
+            cfg.data.data_root, "val",
+            sample_frame=cfg.data.sample_frame,
+            max_len=cfg.data.max_len_val,
+            image_ratio=cfg.data.image_ratio,
+        )
+        return train, val
+    raise ValueError(f"unknown dataset {cfg.data.dataset}")
+
+
+def main():
+    args = create_parser().parse_args()
+
+    # honor JAX_PLATFORMS even when a platform plugin overrides it
+    # programmatically (the axon TPU plugin's sitecustomize does)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from keypointnerf_tpu.parallel import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    import dataclasses
+
+    from keypointnerf_tpu.models import KeypointNeRF
+    from keypointnerf_tpu.training.loop import Trainer
+    from keypointnerf_tpu.utils import load_config
+
+    overrides = parse_overrides(args.set)
+    if args.data_root:
+        overrides["data.data_root"] = args.data_root
+    if args.out_dir:
+        overrides["out_dir"] = args.out_dir
+    cfg = load_config(args.config, overrides)
+
+    vgg_params = None
+    if cfg.vgg_weights and os.path.exists(cfg.vgg_weights):
+        from keypointnerf_tpu.models.vgg import load_torch_vgg19
+
+        vgg_params = load_torch_vgg19(cfg.vgg_weights)
+    elif cfg.loss.lambda_vgg > 0.0:
+        from keypointnerf_tpu.models.vgg import init_vgg_params
+
+        print("WARNING: no vgg_weights configured; using random frozen VGG features")
+        vgg_params = init_vgg_params()
+
+    model = KeypointNeRF(cfg.model)
+    train_data, val_data = build_datasets(cfg)
+    trainer = Trainer(cfg, model, train_data, val_data, vgg_params=vgg_params)
+
+    if args.run_val:
+        from keypointnerf_tpu.evaluation.run_eval import run_eval
+
+        run_eval(cfg, model, trainer.state, val_data)
+        return
+
+    max_steps = 2 if args.fast_dev_run else args.max_steps
+    trainer.fit(max_steps=max_steps)
+
+
+if __name__ == "__main__":
+    main()
