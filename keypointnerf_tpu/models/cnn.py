@@ -28,7 +28,7 @@ import flax.linen as nn
 from jax.nn.initializers import he_normal, zeros
 
 
-def _conv(out_ch, kernel, stride=1, use_bias=True, padding="SAME"):
+def _conv(out_ch, kernel, stride=1, use_bias=True, padding="SAME", dtype=None):
     return nn.Conv(
         out_ch,
         (kernel, kernel),
@@ -37,10 +37,11 @@ def _conv(out_ch, kernel, stride=1, use_bias=True, padding="SAME"):
         use_bias=use_bias,
         kernel_init=he_normal(),
         bias_init=zeros,
+        dtype=dtype,
     )
 
 
-def _deconv2x(out_ch, kernel=3, use_bias=True):
+def _deconv2x(out_ch, kernel=3, use_bias=True, dtype=None):
     """2x upsampling transposed conv (torch k3 s2 p1 op1 equivalent size)."""
     return nn.ConvTranspose(
         out_ch,
@@ -50,6 +51,7 @@ def _deconv2x(out_ch, kernel=3, use_bias=True):
         use_bias=use_bias,
         kernel_init=he_normal(),
         bias_init=zeros,
+        dtype=dtype,
     )
 
 
@@ -61,13 +63,15 @@ def replication_pad(x, pad):
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
 
 
-def group_norm(ch):
-    return nn.GroupNorm(num_groups=min(32, ch))
+def group_norm(ch, dtype=None):
+    return nn.GroupNorm(num_groups=min(32, ch), dtype=dtype)
 
 
-def instance_norm():
+def instance_norm(dtype=None):
     """InstanceNorm2d affine=False: per-sample per-channel normalization."""
-    return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False)
+    return nn.GroupNorm(
+        num_groups=None, group_size=1, use_bias=False, use_scale=False, dtype=dtype
+    )
 
 
 class ConvBlock(nn.Module):
@@ -76,17 +80,19 @@ class ConvBlock(nn.Module):
     concatenated, plus a 1x1-projected residual when widths differ."""
 
     out_ch: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h1 = _conv(self.out_ch // 2, 3, use_bias=False)(nn.relu(group_norm(in_ch)(x)))
-        h2 = _conv(self.out_ch // 4, 3, use_bias=False)(nn.relu(group_norm(self.out_ch // 2)(h1)))
-        h3 = _conv(self.out_ch // 4, 3, use_bias=False)(nn.relu(group_norm(self.out_ch // 4)(h2)))
+        dt = self.dtype
+        h1 = _conv(self.out_ch // 2, 3, use_bias=False, dtype=dt)(nn.relu(group_norm(in_ch, dt)(x)))
+        h2 = _conv(self.out_ch // 4, 3, use_bias=False, dtype=dt)(nn.relu(group_norm(self.out_ch // 2, dt)(h1)))
+        h3 = _conv(self.out_ch // 4, 3, use_bias=False, dtype=dt)(nn.relu(group_norm(self.out_ch // 4, dt)(h2)))
         out = jnp.concatenate([h1, h2, h3], axis=-1)
         res = x
         if in_ch != self.out_ch:
-            res = _conv(self.out_ch, 1, use_bias=False)(nn.relu(group_norm(in_ch)(x)))
+            res = _conv(self.out_ch, 1, use_bias=False, dtype=dt)(nn.relu(group_norm(in_ch, dt)(x)))
         return out + res
 
 
@@ -95,16 +101,17 @@ class HourGlass(nn.Module):
 
     depth: int
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        up1 = ConvBlock(self.features)(x)
-        low = ConvBlock(self.features)(avg_pool2(x))
+        up1 = ConvBlock(self.features, self.dtype)(x)
+        low = ConvBlock(self.features, self.dtype)(avg_pool2(x))
         if self.depth > 1:
-            low = HourGlass(self.depth - 1, self.features)(low)
+            low = HourGlass(self.depth - 1, self.features, self.dtype)(low)
         else:
-            low = ConvBlock(self.features)(low)
-        low = ConvBlock(self.features)(low)
+            low = ConvBlock(self.features, self.dtype)(low)
+        low = ConvBlock(self.features, self.dtype)(low)
         up2 = jax.image.resize(
             low, (low.shape[0], low.shape[1] * 2, low.shape[2] * 2, low.shape[3]), "bicubic"
         )
@@ -123,30 +130,32 @@ class HGFilter(nn.Module):
     out_ch: int = 64
     out_ch_hd: int = 8
     hd: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(group_norm(64)(_conv(64, 7, stride=2)(x)))
-        x = ConvBlock(128)(x)
+        dt = self.dtype
+        x = nn.relu(group_norm(64, dt)(_conv(64, 7, stride=2, dtype=dt)(x)))
+        x = ConvBlock(128, dt)(x)
 
         # hi-res branch: deconv 128->32 + GN + relu, then 5x5 conv -> out_ch_hd
-        hd = nn.relu(group_norm(32)(_deconv2x(32, use_bias=False)(x)))
-        x_hd = _conv(self.out_ch_hd, 5)(hd)
+        hd = nn.relu(group_norm(32, dt)(_deconv2x(32, use_bias=False, dtype=dt)(x)))
+        x_hd = _conv(self.out_ch_hd, 5, dtype=dt)(hd)
 
         if not self.hd:
             x = avg_pool2(x)
-        x = ConvBlock(128)(x)
-        x = ConvBlock(256)(x)
+        x = ConvBlock(128, dt)(x)
+        x = ConvBlock(256, dt)(x)
 
         previous = x
         out = None
         for i in range(self.n_stack):
-            hg = HourGlass(self.n_downsample, 256)(previous)
-            ll = ConvBlock(256)(hg)
-            ll = nn.relu(group_norm(256)(_conv(256, 1)(ll)))
-            out = _conv(self.out_ch, 1)(ll)
+            hg = HourGlass(self.n_downsample, 256, dt)(previous)
+            ll = ConvBlock(256, dt)(hg)
+            ll = nn.relu(group_norm(256, dt)(_conv(256, 1, dtype=dt)(ll)))
+            out = _conv(self.out_ch, 1, dtype=dt)(ll)
             if i < self.n_stack - 1:
-                previous = previous + _conv(256, 1)(ll) + _conv(256, 1)(out)
+                previous = previous + _conv(256, 1, dtype=dt)(ll) + _conv(256, 1, dtype=dt)(out)
         return [out, x_hd]
 
 
@@ -155,13 +164,15 @@ class ResBlk(nn.Module):
     src/utils.py:199-214)."""
 
     ch: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        h = _conv(self.ch, 3, padding="VALID")(replication_pad(x, 1))
-        h = nn.relu(instance_norm()(h))
-        h = _conv(self.ch, 3, padding="VALID")(replication_pad(h, 1))
-        h = instance_norm()(h)
+        dt = self.dtype
+        h = _conv(self.ch, 3, padding="VALID", dtype=dt)(replication_pad(x, 1))
+        h = nn.relu(instance_norm(dt)(h))
+        h = _conv(self.ch, 3, padding="VALID", dtype=dt)(replication_pad(h, 1))
+        h = instance_norm(dt)(h)
         return x + h
 
 
@@ -177,22 +188,24 @@ class ResBlkEncoder(nn.Module):
     n_downsample: int = 3
     n_blocks: int = 4
     n_upsample: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(self.ngf, 7, padding="VALID")(replication_pad(x, 3))
-        x = nn.relu(instance_norm()(x))
+        dt = self.dtype
+        x = _conv(self.ngf, 7, padding="VALID", dtype=dt)(replication_pad(x, 3))
+        x = nn.relu(instance_norm(dt)(x))
         for i in range(self.n_downsample):
             mult = 2**i
-            x = _conv(self.ngf * mult * 2, 3, stride=2)(x)
-            x = nn.relu(instance_norm()(x))
+            x = _conv(self.ngf * mult * 2, 3, stride=2, dtype=dt)(x)
+            x = nn.relu(instance_norm(dt)(x))
         for _ in range(self.n_blocks):
-            x = ResBlk(self.ngf * 2**self.n_downsample)(x)
+            x = ResBlk(self.ngf * 2**self.n_downsample, dt)(x)
         for i in range(self.n_upsample):
             mult = 2 ** (self.n_downsample - i)
-            x = _deconv2x(self.ngf * mult // 2)(x)
-            x = nn.relu(instance_norm()(x))
+            x = _deconv2x(self.ngf * mult // 2, dtype=dt)(x)
+            x = nn.relu(instance_norm(dt)(x))
         if self.n_upsample > 0:
             mult = 2 ** (self.n_downsample - self.n_upsample + 1)
-            x = _conv(self.out_ch, 7, padding="VALID")(replication_pad(x, 3))
+            x = _conv(self.out_ch, 7, padding="VALID", dtype=dt)(replication_pad(x, 3))
         return x

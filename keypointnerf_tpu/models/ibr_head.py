@@ -14,8 +14,8 @@ import flax.linen as nn
 from jax.nn.initializers import he_normal, zeros, constant
 
 
-def _dense(feats):
-    return nn.Dense(feats, kernel_init=he_normal(), bias_init=zeros)
+def _dense(feats, dtype=None):
+    return nn.Dense(feats, kernel_init=he_normal(), bias_init=zeros, dtype=dtype)
 
 
 def weighted_mean_var(x, w):
@@ -30,6 +30,7 @@ class IBRRenderingHead(nn.Module):
     """Predict per-sample RGB by blending source-view pixels."""
 
     in_feat_ch: int = 32  # rgb_feat width = in_feat_ch + 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, rgb_feats, ray_diffs, proj_mask):
@@ -46,7 +47,7 @@ class IBRRenderingHead(nn.Module):
 
         ani_al = self.param("ani_al", constant(0.2), ())
 
-        dir_feat = _dense(16)(ray_diffs)
+        dir_feat = _dense(16, self.dtype)(ray_diffs)
         dir_feat = nn.elu(dir_feat)
         dir_feat = _dense(width)(dir_feat)
         dir_feat = nn.elu(dir_feat)
@@ -66,17 +67,17 @@ class IBRRenderingHead(nn.Module):
         fused = jnp.broadcast_to(fused, fused.shape[:-2] + (V, fused.shape[-1]))
 
         x = jnp.concatenate([fused, feats], axis=-1)  # (R, S, V, 3*width)
-        x = nn.elu(_dense(64)(x))
-        x = nn.elu(_dense(32)(x))
+        x = nn.elu(_dense(64, self.dtype)(x))
+        x = nn.elu(_dense(32, self.dtype)(x))
 
-        pred = nn.elu(_dense(33)(nn.elu(_dense(32)(x * w))))
+        pred = nn.elu(_dense(33, self.dtype)(nn.elu(_dense(32, self.dtype)(x * w))))
         res, vis = pred[..., :-1], pred[..., -1:]
         x = x + res
-        vis = nn.sigmoid(_dense(1)(nn.elu(_dense(32)(x * nn.sigmoid(vis) * proj_mask))))
+        vis = nn.sigmoid(_dense(1, self.dtype)(nn.elu(_dense(32, self.dtype)(x * nn.sigmoid(vis) * proj_mask))))
         vis = vis * proj_mask
 
         x = jnp.concatenate([x, vis, ray_diffs], axis=-1)  # (..., 32+1+4)
-        x = _dense(1)(nn.elu(_dense(8)(nn.elu(_dense(16)(x)))))
+        x = _dense(1, self.dtype)(nn.elu(_dense(8, self.dtype)(nn.elu(_dense(16, self.dtype)(x)))))
         logits = jnp.where(proj_mask == 0.0, -1e9, x)
         blend = nn.softmax(logits, axis=-2)
         return jnp.sum(src_rgb * blend, axis=-2)

@@ -1,0 +1,203 @@
+"""KeypointICON — single-image 3D human reconstruction.
+
+The reference demonstrates that the relative keypoint spatial encoding can
+replace ICON's expensive SDF feature for monocular reconstruction
+(reference README.md:104-119: Chamfer 1.539 / P2S 1.358 cm on CAPE,
+"much faster and more convenient"). The reference repo itself contains no
+ICON code (it lives in the external ICON repo); this module provides the
+capability natively:
+
+  * pixel-aligned features from ONE image (stacked-hourglass encoder),
+  * the same `rel_z_decay` spatial encoding w.r.t. 3D body keypoints
+    (src/spatial.py semantics) with V=1,
+  * an implicit occupancy MLP (PIFu-style, skip-injected),
+  * chunked occupancy-grid evaluation + surface extraction +
+    Chamfer / point-to-surface metrics for CAPE-style evaluation.
+
+TPU-first: query batches are flat (N, C) MXU contractions; grid eval is a
+fixed-shape lax.map over chunks, the same pattern as the NeRF renderer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.cameras import compose_krt, ndc_xy, ndc_z, project_points, world_to_cam
+from ..ops.feat_sample import bilinear_sample
+from .cnn import HGFilter
+from .mlp import MLP
+from .spatial_encoding import SpatialEncodingConfig, spatial_encode, spatial_encoding_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointICONConfig:
+    sp_level: int = 3
+    sp_type: str = "rel_z_decay"
+    sp_sigma: float = 0.1
+    n_kpt: int = 24
+    geo_n_stack: int = 1
+    geo_n_downsample: int = 4
+    geo_out_ch: int = 64
+    geo_out_ch_hd: int = 8
+    mlp_hidden: Tuple[int, ...] = (512, 256, 128)
+    znear: float = 2.0
+    zfar: float = 5.0
+
+    @property
+    def sp_config(self) -> SpatialEncodingConfig:
+        return SpatialEncodingConfig(
+            sp_level=self.sp_level, sp_type=self.sp_type,
+            sigma=self.sp_sigma, n_kpt=self.n_kpt,
+        )
+
+
+class KeypointICON(nn.Module):
+    cfg: KeypointICONConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = HGFilter(
+            n_stack=c.geo_n_stack, n_downsample=c.geo_n_downsample,
+            out_ch=c.geo_out_ch, out_ch_hd=c.geo_out_ch_hd,
+        )
+        sp_dim = spatial_encoding_dim(c.sp_config)
+        in_dim = sp_dim + c.geo_out_ch + c.geo_out_ch_hd
+        self.head = MLP(
+            (in_dim,) + tuple(c.mlp_hidden) + (1,),
+            skip_layers=(2,), nl_layer="leakyrelu", weight_norm=True,
+        )
+
+    def encode(self, image):
+        """image: (H, W, 3) in [0, 1] -> list [coarse, hires] feature maps."""
+        return self.encoder((2.0 * image - 1.0)[None])
+
+    def query_occupancy(self, pts, feats, K, R, t, kpt3d):
+        """Occupancy logits at N world points from one view.
+
+        pts: (N, 3); K/R/t: single camera; kpt3d: (Kp, 3).
+        Returns (N, 1) logits (sigmoid -> occupancy).
+        """
+        c = self.cfg
+        krt = compose_krt(K, R, t)
+        xy_pix, z = project_points(pts[None], krt[None])      # (1, N, 2)
+        # feature maps are H/4 and H/2 of the input; NDC is resolution-free
+        img_h = feats[1].shape[1] * 2
+        img_w = feats[1].shape[2] * 2
+        xy = ndc_xy(xy_pix, img_w, img_h)[0]                  # (N, 2)
+        zn = ndc_z(z, c.znear, c.zfar)[0]                     # (N, 1)
+
+        f_coarse = bilinear_sample(feats[0][0], xy)           # (N, 64)
+        f_hd = bilinear_sample(feats[1][0], xy)               # (N, 8)
+
+        pts_cam = world_to_cam(pts[None], R[None], t[None])   # (1, N, 3)
+        kpt_cam = world_to_cam(kpt3d[None], R[None], t[None])
+        sp = spatial_encode(
+            c.sp_config, pts, pts_cam, kpt3d, kpt_cam,
+            z_ndc=zn[None], xy_ndc=xy[None],
+        )[0]                                                  # (N, D)
+
+        x = jnp.concatenate([sp, f_coarse, f_hd], axis=-1)
+        return self.head(x)
+
+    def __call__(self, image, pts, K, R, t, kpt3d):
+        """Train-time forward: occupancy logits at sampled points."""
+        feats = self.encode(image)
+        return self.query_occupancy(pts, feats, K, R, t, kpt3d)
+
+
+def occupancy_grid(
+    model: KeypointICON, params, image, K, R, t, kpt3d, bounds,
+    resolution: int = 128, chunk: int = 65536,
+):
+    """Evaluate sigmoid occupancy on a dense grid inside `bounds`.
+
+    Returns (res, res, res) occupancy in [0, 1], plus the grid axes.
+    """
+    lo, hi = np.asarray(bounds[0]), np.asarray(bounds[1])
+    axes = [np.linspace(lo[d], hi[d], resolution, dtype=np.float32) for d in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+
+    feats = model.apply(params, jnp.asarray(image), method=KeypointICON.encode)
+    n = pts.shape[0]
+    n_pad = (-n) % chunk
+    pts_p = np.concatenate([pts, np.zeros((n_pad, 3), np.float32)])
+
+    @jax.jit
+    def eval_chunk(p):
+        logits = model.apply(
+            params, p, feats, K, R, t, kpt3d, method=KeypointICON.query_occupancy
+        )
+        return jax.nn.sigmoid(logits[..., 0])
+
+    out = jax.lax.map(eval_chunk, jnp.asarray(pts_p.reshape(-1, chunk, 3)))
+    occ = np.asarray(out).reshape(-1)[:n].reshape(resolution, resolution, resolution)
+    return occ, axes
+
+
+def surface_points_from_grid(occ, axes, threshold: float = 0.5, max_points: int = 200000):
+    """Extract surface samples at iso-crossings along the three grid axes
+    with linear interpolation (marching-cubes-free surface extraction)."""
+    pts = []
+    occ = np.asarray(occ)
+    ax = [np.asarray(a) for a in axes]
+    for d in range(3):
+        a = np.moveaxis(occ, d, 0)
+        lo, hi = a[:-1], a[1:]
+        cross = (lo - threshold) * (hi - threshold) < 0
+        idx = np.argwhere(cross)
+        if len(idx) == 0:
+            continue
+        i = idx[:, 0]
+        frac = (threshold - lo[tuple(idx.T)]) / (hi[tuple(idx.T)] - lo[tuple(idx.T)] + 1e-12)
+        coord_d = ax[d][i] + frac * (ax[d][i + 1] - ax[d][i])
+        others = [ax[(d + 1) % 3], ax[(d + 2) % 3]]  # moveaxis order: d, then rest
+        rest_axes = [k for k in range(3) if k != d]
+        coords = np.empty((len(idx), 3), np.float32)
+        coords[:, d] = coord_d
+        coords[:, rest_axes[0]] = ax[rest_axes[0]][idx[:, 1]]
+        coords[:, rest_axes[1]] = ax[rest_axes[1]][idx[:, 2]]
+        pts.append(coords)
+    if not pts:
+        return np.zeros((0, 3), np.float32)
+    pts = np.concatenate(pts)
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
+        pts = pts[sel]
+    return pts
+
+
+def chamfer_distance(a: np.ndarray, b: np.ndarray, chunk: int = 2048) -> float:
+    """Symmetric Chamfer distance (mean of both directed means), in the
+    units of the inputs — the CAPE protocol reports cm."""
+    return 0.5 * (point_to_surface(a, b, chunk) + point_to_surface(b, a, chunk))
+
+
+def point_to_surface(a: np.ndarray, b: np.ndarray, chunk: int = 2048) -> float:
+    """Mean nearest-neighbor distance from each point of `a` to cloud `b`
+    (P2S when `b` densely samples the surface)."""
+    if len(a) == 0 or len(b) == 0:
+        return float("inf")
+    b = np.asarray(b, np.float32)
+    total = 0.0
+    for i in range(0, len(a), chunk):
+        aa = np.asarray(a[i : i + chunk], np.float32)
+        d2 = (
+            np.sum(aa**2, -1)[:, None]
+            - 2.0 * aa @ b.T
+            + np.sum(b**2, -1)[None]
+        )
+        total += float(np.sqrt(np.maximum(d2.min(axis=1), 0.0)).sum())
+    return total / len(a)
+
+
+def bce_occupancy_loss(logits, labels):
+    """Binary cross-entropy on occupancy logits (ICON/PIFu training loss)."""
+    return jnp.mean(
+        jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )

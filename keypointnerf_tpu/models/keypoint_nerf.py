@@ -149,11 +149,14 @@ class KeypointNeRF(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # mixed precision: compute in cfg.compute_dtype (params stay f32)
+        dt = None if c.compute_dtype == jnp.float32 else c.compute_dtype
         self.geo_encoder = HGFilter(
             n_stack=c.geo_n_stack,
             n_downsample=c.geo_n_downsample,
             out_ch=c.geo_out_ch,
             out_ch_hd=c.geo_out_ch_hd,
+            dtype=dt,
         )
         self.tex_encoder = ResBlkEncoder(
             out_ch=c.tex_out_ch,
@@ -161,6 +164,7 @@ class KeypointNeRF(nn.Module):
             n_downsample=c.tex_n_downsample,
             n_blocks=c.tex_n_blocks,
             n_upsample=c.tex_n_upsample,
+            dtype=dt,
         )
         dims1 = (c.sp_dim,) + tuple(c.mlp_dims1[1:])
         self.mlp_geo = GeoFusionMLP(
@@ -170,9 +174,10 @@ class KeypointNeRF(nn.Module):
             skip_layers=tuple(c.mlp_skip_layers),
             nl_layer=c.mlp_nl,
             pool_types=tuple(c.pool_types),
+            dtype=dt,
         )
-        self.ibr_head = IBRRenderingHead(in_feat_ch=c.ibr_in_feat_ch)
-        self.gcompress = nn.Dense(c.gcompress_out)
+        self.ibr_head = IBRRenderingHead(in_feat_ch=c.ibr_in_feat_ch, dtype=dt)
+        self.gcompress = nn.Dense(c.gcompress_out, dtype=dt)
 
     # ------------------------------------------------------------------ encode
     def encode(self, src_images):

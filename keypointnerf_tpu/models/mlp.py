@@ -51,6 +51,7 @@ class WNDense(nn.Module):
 
     features: int
     use_wn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -61,11 +62,15 @@ class WNDense(nn.Module):
             g = self.param(
                 "gain", lambda key, shape: jnp.full(shape, jnp.sqrt(2.0)), (self.features,)
             )
+            # weight-norm math in f32 (cheap, numerically sensitive)
             norm = jnp.linalg.norm(v, axis=0, keepdims=True)
             w = v * (g[None, :] / (norm + 1e-12))
         else:
             w = v
-        return x @ w + b
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
 
 
 class MLP(nn.Module):
@@ -77,6 +82,7 @@ class MLP(nn.Module):
     nl_layer: str = "softplus"
     weight_norm: bool = True
     last_op: Optional[str] = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -87,7 +93,8 @@ class MLP(nn.Module):
             if i in self.skip_layers:
                 x = jnp.concatenate([x, x0], axis=-1)
             last = i == n - 1
-            x = WNDense(self.dims[i + 1], use_wn=self.weight_norm and not last)(x)
+            x = WNDense(self.dims[i + 1], use_wn=self.weight_norm and not last,
+                        dtype=self.dtype)(x)
             if not last and nl is not None:
                 x = nl(x)
         last_nl = get_nl(self.last_op)
@@ -104,6 +111,7 @@ class MLPUNet(nn.Module):
     skip_layers: Sequence[int]
     nl_layer: str = "softplus"
     weight_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, feats: Sequence[jnp.ndarray]):
@@ -116,7 +124,8 @@ class MLPUNet(nn.Module):
                 f = feats[skip_idx[i]]
                 x = f if x is None else jnp.concatenate([x, f], axis=-1)
             last = i == n - 1
-            x = WNDense(self.dims[i + 1], use_wn=self.weight_norm and not last)(x)
+            x = WNDense(self.dims[i + 1], use_wn=self.weight_norm and not last,
+                        dtype=self.dtype)(x)
             if not last and nl is not None:
                 x = nl(x)
         return x
@@ -168,6 +177,7 @@ class GeoFusionMLP(nn.Module):
     nl_layer: str = "softplus"
     weight_norm: bool = True
     pool_types: Sequence[str] = ("mean", "var")
+    dtype: object = None
 
     @nn.compact
     def __call__(self, sp_feat, im_feats, mask, weight):
@@ -184,8 +194,10 @@ class GeoFusionMLP(nn.Module):
           latent_fused: (N, dims2[0]) pooled latent (input of the fusion MLP).
         """
         latent_view = MLPUNet(
-            self.dims1, self.skip_dims, self.skip_layers, self.nl_layer, self.weight_norm
+            self.dims1, self.skip_dims, self.skip_layers, self.nl_layer,
+            self.weight_norm, self.dtype,
         )(sp_feat, im_feats)
         latent_fused, valid = masked_pool(latent_view, mask, weight, tuple(self.pool_types))
-        out = MLP(self.dims2, (), self.nl_layer, self.weight_norm)(latent_fused)
+        out = MLP(self.dims2, (), self.nl_layer, self.weight_norm,
+                  dtype=self.dtype)(latent_fused)
         return out, valid, latent_view, latent_fused

@@ -110,24 +110,29 @@ class Trainer:
             self.metrics.image(step, "val/gt_vs_pred", strip)
 
     def fit(self, max_steps: Optional[int] = None):
+        from ..utils.profiling import StepTimer
+
         cfg = self.cfg
+        mc = self.model.cfg
         rng = jax.random.key(cfg.seed)
         step = int(self.state.step)
-        t0 = time.time()
+        rays_per_step = mc.patch_h * mc.patch_w * self.n_dev
+        points_per_step = rays_per_step * (2 * mc.n_coarse + mc.n_fine)
+        timer = StepTimer(window=cfg.log_every_steps)
         window = []
         for epoch in range(cfg.max_epochs):
             for batch in self._batch_iterator(epoch):
                 self.state, err = self.train_step(self.state, batch, rng)
+                timer.tick()
                 step = int(self.state.step)
                 window.append({k: float(v) for k, v in err.items()})
                 if step % cfg.log_every_steps == 0:
                     mean = {
                         k: float(np.mean([w[k] for w in window])) for k in window[0]
                     }
-                    dt = time.time() - t0
-                    mean["steps_per_sec"] = len(window) / max(dt, 1e-9)
+                    mean.update(timer.metrics(rays_per_step, points_per_step))
                     self.metrics.scalars(step, mean, prefix="train/")
-                    window, t0 = [], time.time()
+                    window = []
                 if step % cfg.val_every_steps == 0:
                     self.validate(step)
                 if step % cfg.ckpt_every_steps == 0:
