@@ -8,41 +8,51 @@ The measured path is the full coarse+fine inference ray-march (64 + 64
 samples, union -> 128 composited) of the zju-config model at 256x256,
 including multi-view feature sampling, spatial encoding, geometry MLP
 fusion and the IBR color head — the reference's `render_pifu_nerf` hot
-loop (reference src/model.py:897-1108). `vs_baseline` is measured against
-BASELINE_RAYS_PER_SEC, the throughput of this repo's first working jnp/XLA
-implementation on one chip (the reference publishes no speed numbers —
-SURVEY.md §6 — so round 1 sets the bar and later rounds must beat it).
+loop (reference src/model.py:897-1108).
+
+Relay-awareness: on the axon TPU relay, eager ops and host fetches each
+pay a large tunnel round trip and block_until_ready does not block. So the
+whole measurement is ONE jitted program — a lax.scan over N_CAMERAS orbit
+cameras, each a full-image render reduced to a scalar — timed between two
+single-scalar fetches with the round-trip floor subtracted.
+
+`vs_baseline` is measured against BASELINE_RAYS_PER_SEC, the throughput of
+this repo's first working jnp/XLA implementation on one chip (the
+reference publishes no speed numbers — SURVEY.md §6 — so round 1 sets the
+bar and later rounds must beat it).
 """
 import json
 import os
 import time
 
-# persistent compile cache: the render program is compiled once per machine
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Round-1 XLA baseline on a single chip (rays/sec), set from the first
-# measurement on real TPU hardware. Update only upward.
+# honest measurement on real TPU hardware. Update only upward.
 BASELINE_RAYS_PER_SEC = 100_000.0
 
 HEIGHT = WIDTH = 256
 CHUNK = 8192
+N_CAMERAS = 4
 
 
 def main():
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.data.synthetic import look_at
+    from keypointnerf_tpu.geometry.cameras import camera_rays, pixel_grid
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
-    from keypointnerf_tpu.render import render_image
+    from keypointnerf_tpu.render.renderer import render_rays_chunked
 
     cfg = KeypointNeRFConfig()  # zju defaults: 64 coarse + 64 fine
     model = KeypointNeRF(cfg)
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 
-    # init on CPU (avoids compiling the training graph on the accelerator —
-    # only the render program below should occupy the TPU compiler)
+    # init on CPU (avoids compiling the training graph on the accelerator)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         vb_cpu = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
@@ -53,47 +63,54 @@ def main():
     params = jax.device_put(params, dev)
     vb = jax.device_put(vb_cpu, dev)
 
-    # distinct target cameras per iteration — defeats any result memoization
-    # between identical executions (the axon relay caches repeat calls)
-    def vb_with_angle(i):
-        import numpy as np
+    def orbit(seed):
+        Rs, ts = [], []
+        for i in range(N_CAMERAS):
+            ang = seed + 0.7 * i
+            eye = 3.5 * np.array([np.cos(ang), 0.05, np.sin(ang)])
+            R, t = look_at(eye, np.zeros(3))
+            Rs.append(R)
+            ts.append(t)
+        return jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts))
 
-        from keypointnerf_tpu.data.synthetic import look_at
+    @jax.jit
+    def render_many(params, vb, Rs, ts):
+        feats = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+        pix = pixel_grid(HEIGHT, WIDTH).astype(jnp.float32)
 
-        ang = 0.3 + 0.11 * i
-        eye = 3.5 * np.array([np.cos(ang), 0.05, np.sin(ang)])
-        R, t = look_at(eye, np.zeros(3))
-        return vb.replace(tar_R=jnp.asarray(R), tar_t=jnp.asarray(t))
+        def one(acc, Rt):
+            R, t = Rt
+            origin, dirs, near, far = camera_rays(
+                pix, vb.tar_K, R, t, cfg.znear, cfg.zfar
+            )
+            out = render_rays_chunked(
+                model, params, feats, vb, origin, dirs, near, far, chunk=CHUNK
+            )
+            return acc + jnp.sum(out["rgb_fine"]), None
 
-    def dispatch(i):
-        out = render_image(
-            model, params, vb_with_angle(i), height=HEIGHT, width=WIDTH,
-            stride=1, chunk=CHUNK,
-        )
-        return jnp.sum(out["rgb_fine"])
+        total, _ = jax.lax.scan(one, jnp.asarray(0.0), (Rs, ts))
+        return total
 
-    # A scalar host fetch is the only reliable execution barrier on the
-    # axon relay (block_until_ready returns before remote execution), but
-    # each fetch pays a large tunnel round trip. So: dispatch n_iters
-    # renders asynchronously, fetch ONE scalar depending on all of them,
-    # and subtract the measured round-trip floor.
-    float(dispatch(0))  # compile + warm
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    zeros = jax.device_put(jnp.zeros(8), dev)
+    float(trivial(zeros))  # compile trivial
+    Rs0, ts0 = orbit(0.0)
+    float(render_many(params, vb, Rs0, ts0))  # compile + warm
 
     t0 = time.perf_counter()
-    float(jnp.sum(jnp.zeros(8)))  # round-trip floor on a trivial program
-    t_rt = time.perf_counter() - t0
+    float(trivial(zeros))
+    t_rt = time.perf_counter() - t0  # round-trip floor
 
-    n_iters = 8
+    Rs1, ts1 = orbit(1.234)
     t0 = time.perf_counter()
-    acc = []
-    for i in range(n_iters):
-        acc.append(dispatch(i + 1))
-    float(sum(acc))
+    float(render_many(params, vb, Rs1, ts1))
     total = time.perf_counter() - t0
-    dt = max(total - t_rt, 1e-9) / n_iters
 
-    rays = HEIGHT * WIDTH
-    rays_per_sec = rays / dt
+    dt = max(total - t_rt, 1e-9) / N_CAMERAS
+    rays_per_sec = HEIGHT * WIDTH / dt
     print(
         json.dumps(
             {

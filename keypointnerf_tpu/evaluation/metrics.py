@@ -89,3 +89,49 @@ def bounding_rect(mask: np.ndarray):
         return 0, 0, mask.shape[1], mask.shape[0]
     x, y = int(xs.min()), int(ys.min())
     return x, y, int(xs.max()) - x + 1, int(ys.max()) - y + 1
+
+
+def compute_test_metric(pred, gt, mask=None, max_val: float = 1.0):
+    """Masked SSIM/PSNR pair (reference src/model.py:237-263
+    `compute_test_metric`, which uses kornia SSIM window 7 / PSNR).
+
+    pred/gt: (H, W, 3) in [0, max_val]; mask: optional (H, W) bool weights.
+    Returns {"ssim": ..., "psnr": ...}; SSIM uses the 7x7 uniform-window
+    map, masked-averaged when a mask is given.
+    """
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    win = 7
+    pad = (win - 1) // 2
+
+    vals = []
+    for c in range(pred.shape[-1]):
+        x, y = pred[..., c], gt[..., c]
+        NP = win**2
+        cov_norm = NP / (NP - 1.0)
+        filt = lambda a: uniform_filter(a, size=win, mode="reflect")
+        ux, uy = filt(x), filt(y)
+        vx = cov_norm * (filt(x * x) - ux * ux)
+        vy = cov_norm * (filt(y * y) - uy * uy)
+        vxy = cov_norm * (filt(x * y) - ux * uy)
+        C1 = (0.01 * max_val) ** 2
+        C2 = (0.03 * max_val) ** 2
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+            (ux**2 + uy**2 + C1) * (vx + vy + C2)
+        )
+        S = S[pad:-pad, pad:-pad]
+        if mask is not None:
+            m = np.asarray(mask, np.float64)[pad:-pad, pad:-pad]
+            vals.append(float((S * m).sum() / (m.sum() + 1e-12)))
+        else:
+            vals.append(float(S.mean()))
+    ssim_val = float(np.mean(vals))
+
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        diff2 = ((pred - gt) ** 2)[m]
+    else:
+        diff2 = (pred - gt) ** 2
+    mse = float(np.mean(diff2))
+    psnr_val = float(10.0 * np.log10(max_val**2 / mse)) if mse > 0 else float("inf")
+    return {"ssim": ssim_val, "psnr": psnr_val}

@@ -100,6 +100,13 @@ class KeypointNeRFConfig:
     zfar: float = 5.0
     bkg_sdf: float = 0.1 / 100.0  # 0.1 / nml_scale (reference model.py:984)
     view_dropout: float = 0.5
+    # disable the all-views-foreground constraint (reference model.py:567,
+    # 735-739 `disable_fg_mask`)
+    disable_fg_mask: bool = False
+    # input downsampling factors for the encoders (reference model.py:655-676
+    # ds_geo/ds_tex: avg-pool the input image 2x per level)
+    ds_geo: int = 0
+    ds_tex: int = 0
     # numerics
     compute_dtype: Any = jnp.float32
     # fused Pallas geometry-MLP kernel (ops/pallas/fused_geo_mlp.py);
@@ -188,9 +195,17 @@ class KeypointNeRF(nn.Module):
         [coarse (V, H/4, W/4, 64), hires (V, H/2, W/2, 8)], texture features
         as (V, H/2, W/2, 8).
         """
+        from .cnn import avg_pool2
+
         x = (2.0 * src_images - 1.0).astype(self.cfg.compute_dtype)
-        feat_geo = self.geo_encoder(x)
-        feat_tex = self.tex_encoder(x)
+        x_geo = x
+        for _ in range(self.cfg.ds_geo):
+            x_geo = avg_pool2(x_geo)
+        x_tex = x
+        for _ in range(self.cfg.ds_tex):
+            x_tex = avg_pool2(x_tex)
+        feat_geo = self.geo_encoder(x_geo)
+        feat_tex = self.tex_encoder(x_tex)
         return {"geo": feat_geo, "tex": feat_tex}
 
     # ----------------------------------------------------------------- query
@@ -226,8 +241,10 @@ class KeypointNeRF(nn.Module):
         mask = (in_xy & (zn >= -1.0)).astype(jnp.float32)  # (V, N, 1)
 
         # all views must land on the foreground (reference model.py:732-739)
-        fg = multiview_bilinear_sample(vb.src_masks, xy)   # (V, N, 1)
-        all_valid = jnp.all(mask > 0.0, axis=0) & jnp.all(fg > 0.1, axis=0)
+        all_valid = jnp.all(mask > 0.0, axis=0)
+        if not c.disable_fg_mask:
+            fg = multiview_bilinear_sample(vb.src_masks, xy)   # (V, N, 1)
+            all_valid = all_valid & jnp.all(fg > 0.1, axis=0)
         mask = mask * all_valid[None].astype(mask.dtype)
 
         # view dropout: keep one random view, others with p=0.5, shuffled

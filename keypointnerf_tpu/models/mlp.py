@@ -131,6 +131,20 @@ class MLPUNet(nn.Module):
         return x
 
 
+def pool_ops(x, pool_types, weight):
+    """Weighted pooling primitives over the view axis (reference
+    src/utils.py:722-748). x: (V, N, C); weight: (V, N, 1-or-C)."""
+    outs = []
+    if "max" in pool_types:
+        outs.append(jnp.max(x, axis=0))
+    mean = jnp.sum(weight * x, axis=0)
+    if "mean" in pool_types:
+        outs.append(mean)
+    if "var" in pool_types:
+        outs.append(jnp.sum(weight * (x - mean[None]) ** 2, axis=0))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def masked_pool(x, mask, weight=None, pool_types=("mean", "var")):
     """Masked weighted mean/var pooling across the view axis.
 
@@ -201,3 +215,46 @@ class GeoFusionMLP(nn.Module):
         out = MLP(self.dims2, (), self.nl_layer, self.weight_norm,
                   dtype=self.dtype)(latent_fused)
         return out, valid, latent_view, latent_fused
+
+
+class AttentionPool(nn.Module):
+    """Attention-weighted cross-view pooling — the reference PoolModule's
+    optional `attention_v0` / `attention_v1` modes (src/utils.py:589-647),
+    unused by the zju config but part of the reference surface.
+
+    v0: per-(view, point) scalar logits from a linear projection reweight
+        the pixel weights.
+    v1: multi-head dot-product attention between a pooled query (max+mean)
+        and per-view keys.
+    """
+
+    pool_types: Sequence[str] = ("mean", "var")
+    pool_mode: str = "attention_v0"
+    n_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x, mask, weight=None):
+        """x: (V, N, C); mask: (V, N, 1). Returns (pooled, valid)."""
+        V, N, C = x.shape
+        a_sum = jnp.sum(mask, axis=0)
+        if weight is None:
+            weight = mask / (a_sum[None] + 1e-6)
+        w = weight
+        if V > 1:
+            if self.pool_mode == "attention_v0":
+                att = jnp.exp(nn.Dense(1)(x))                   # (V, N, 1)
+                w = w * att
+                w = w / (jnp.sum(w, axis=0, keepdims=True) + 1e-6)
+            elif self.pool_mode == "attention_v1":
+                D = C // self.n_heads
+                q = nn.Dense(C)(pool_ops(x, ["max", "mean"], mask / (a_sum[None] + 1e-6))[..., : 2 * C])
+                q = q.reshape(N, D, self.n_heads)
+                k = nn.Dense(C)(x).reshape(V, N, D, self.n_heads)
+                att = jnp.einsum("ndh,vndh->vnh", q, k) / (D**2)
+                att = jnp.exp(att)[..., None, :]                # (V, N, 1, H)
+                att = jnp.broadcast_to(att, (V, N, D, self.n_heads)).reshape(V, N, C)
+                w = w * att
+                w = w / (jnp.sum(w, axis=0, keepdims=True) + 1e-6)
+        pooled = pool_ops(x, tuple(self.pool_types), w)
+        valid = a_sum > (1.0 if tuple(self.pool_types) == ("var",) else 0.0)
+        return pooled, valid

@@ -76,3 +76,21 @@ def test_evaluator_round_trip(tmp_path):
     # offline rescoring uses 8-bit round-tripped crops; should be close
     assert abs(offline["psnr"] - score["psnr"]) < 1.5
     assert abs(offline["ssim"] - score["ssim"]) < 0.05
+
+
+def test_compute_test_metric_identical_and_masked():
+    from keypointnerf_tpu.evaluation.metrics import compute_test_metric
+
+    rng = np.random.default_rng(7)
+    x = rng.random((40, 40, 3)).astype(np.float32)
+    r = compute_test_metric(x, x)
+    assert np.isclose(r["ssim"], 1.0)
+    assert r["psnr"] == float("inf")
+
+    y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+    mask = np.zeros((40, 40), bool)
+    mask[10:30, 10:30] = True
+    rm = compute_test_metric(x, y, mask)
+    rf = compute_test_metric(x, y)
+    assert 0 < rm["ssim"] < 1 and 0 < rf["ssim"] < 1
+    assert rm["psnr"] > 0 and np.isfinite(rm["psnr"])

@@ -90,3 +90,30 @@ def test_rel_z_decay_against_manual_math(rng):
             w = np.exp(-d2 / (2 * 0.1**2))  # (K,)
             expected = (pe * w[None, :]).reshape(-1)
             np.testing.assert_allclose(out[v, n], expected, atol=1e-5)
+
+
+def test_attention_pool_modes():
+    import jax
+    import jax.numpy as jnp
+
+    from keypointnerf_tpu.models.mlp import AttentionPool, masked_pool
+
+    V, N, C = 3, 64, 16
+    k = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(k[0], (V, N, C))
+    mask = (jax.random.uniform(k[1], (V, N, 1)) > 0.3).astype(jnp.float32)
+
+    for mode in ("attention_v0", "attention_v1"):
+        m = AttentionPool(pool_mode=mode, n_heads=1)
+        params = m.init(k[2], x, mask)
+        pooled, valid = m.apply(params, x, mask)
+        assert pooled.shape == (N, 2 * C)
+        assert valid.shape == (N, 1)
+        assert bool(jnp.all(jnp.isfinite(pooled)))
+
+    # attention modes must differ from plain weighted pooling
+    plain, _ = masked_pool(x, mask)
+    m0 = AttentionPool(pool_mode="attention_v0")
+    p0 = m0.init(k[2], x, mask)
+    out0, _ = m0.apply(p0, x, mask)
+    assert not np.allclose(np.asarray(out0), np.asarray(plain))

@@ -33,6 +33,12 @@ def create_parser():
         "--set", nargs="*", default=[], metavar="KEY=VALUE",
         help="dotted config overrides, e.g. optim.learning_rate=1e-3",
     )
+    try:  # optional shell completion (reference src/config.py:49-52)
+        import argcomplete
+
+        argcomplete.autocomplete(p)
+    except ImportError:
+        pass
     return p
 
 
