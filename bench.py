@@ -75,7 +75,7 @@ def main():
 
     @jax.jit
     def render_many(params, vb, Rs, ts):
-        feats = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+        feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
         pix = pixel_grid(HEIGHT, WIDTH).astype(jnp.float32)
 
         def one(acc, Rt):

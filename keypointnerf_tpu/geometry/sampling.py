@@ -69,16 +69,37 @@ def importance_z(key, contrib, z_bins, n_samples, uniform=False):
     else:
         u = jax.random.uniform(key, shape, dtype=dtype)
 
-    # searchsorted(cdf, u, right) == count of cdf entries <= u.
-    idx = jnp.sum((cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2)
-    m_edges = cdf.shape[-1]
-    idx_prev = jnp.clip(idx - 1, 0, m_edges - 1)
-    idx_next = jnp.clip(idx, 0, m_edges - 1)
+    # Dense gather-free bin select (TPU: gathers are slow, dense compare +
+    # contraction is VPU/MXU-friendly). searchsorted(right) semantics:
+    # idx = #{cdf_j <= u}; the selected interval is [idx-1, idx]. With
+    # cdf_0 = 0 <= u and cdf_M = 1 > u (u < 1), idx is in [1, M], so the
+    # one-hot of idx-1 over edges j is cmp_j & ~cmp_{j+1}.
+    cmp = cdf[..., :, None] <= u[..., None, :]          # (..., M+1, n)
+    nxt = jnp.concatenate(
+        [cmp[..., 1:, :], jnp.zeros_like(cmp[..., :1, :])], axis=-2
+    )
+    onehot = (cmp & ~nxt).astype(dtype)                 # one-hot of idx_prev
 
-    cdf_prev = jnp.take_along_axis(cdf, idx_prev, axis=-1)
-    cdf_next = jnp.take_along_axis(cdf, idx_next, axis=-1)
-    z_prev = jnp.take_along_axis(z_bins, idx_prev, axis=-1)
-    z_next = jnp.take_along_axis(z_bins, idx_next, axis=-1)
+    def sel(vals):
+        """Contract the one-hot against per-edge values -> (..., n)."""
+        return jnp.einsum("...mn,...m->...n", onehot, vals)
+
+    pad_cdf = jnp.concatenate([cdf, cdf[..., -1:]], axis=-1)
+    pad_z = jnp.concatenate([z_bins, z_bins[..., -1:]], axis=-1)
+    cdf_prev = sel(cdf)
+    cdf_next = sel(pad_cdf[..., 1:])
+    z_prev = sel(z_bins)
+    z_next = sel(pad_z[..., 1:])
+
+    # top-edge clamp: u exactly >= cdf_M (e.g. uniform sampling's u = 1)
+    # leaves an all-false one-hot; fall back to the last bin
+    hit = jnp.sum(onehot, axis=-2)
+    last_cdf = cdf[..., -1:]
+    last_z = z_bins[..., -1:]
+    cdf_prev = jnp.where(hit > 0, cdf_prev, last_cdf)
+    cdf_next = jnp.where(hit > 0, cdf_next, last_cdf)
+    z_prev = jnp.where(hit > 0, z_prev, last_z)
+    z_next = jnp.where(hit > 0, z_next, last_z)
 
     den = cdf_next - cdf_prev
     den = jnp.where(den < 1e-5, jnp.ones_like(den), den)

@@ -3,9 +3,13 @@
 Semantics of the reference IBRRenderingHead (src/model.py:1239-1302): encode
 per-view ray differences, compute anisotropy-weighted view statistics, run a
 small residual/visibility MLP, and softmax-blend the *source-view RGB* with
-the predicted per-view logits. Layout here is (R, S, V, C) = (rays, samples,
-views, channels), identical to the reference's reshape target — the V axis is
-tiny (2-4), so all matmuls contract over C and batch over R*S*V.
+the predicted per-view logits.
+
+TPU layout note: the reference reshapes points to (rays, samples, views, C)
+before the head (src/model.py:828-838) — on TPU those transposes materialize
+multi-GB intermediates. Every op in the head is per-point except the view
+reductions, so this implementation keeps the renderer's native **view-major
+(V, N, C)** layout and reduces over axis 0; the reshape disappears entirely.
 """
 from __future__ import annotations
 
@@ -18,16 +22,19 @@ def _dense(feats, dtype=None):
     return nn.Dense(feats, kernel_init=he_normal(), bias_init=zeros, dtype=dtype)
 
 
-def weighted_mean_var(x, w):
+def weighted_mean_var(x, w, axis=0):
     """Weighted mean/variance over the view axis (reference
-    `fused_mean_variance`, src/utils.py:91-95). x,w: (..., V, C)."""
-    mean = jnp.sum(x * w, axis=-2, keepdims=True)
-    var = jnp.sum(w * (x - mean) ** 2, axis=-2, keepdims=True)
+    `fused_mean_variance`, src/utils.py:91-95)."""
+    mean = jnp.sum(x * w, axis=axis, keepdims=True)
+    var = jnp.sum(w * (x - mean) ** 2, axis=axis, keepdims=True)
     return mean, var
 
 
 class IBRRenderingHead(nn.Module):
-    """Predict per-sample RGB by blending source-view pixels."""
+    """Predict per-point RGB by blending source-view pixels.
+
+    Inputs are view-major: (V, N, C). Returns (N, 3).
+    """
 
     in_feat_ch: int = 32  # rgb_feat width = in_feat_ch + 3
     dtype: object = None
@@ -36,20 +43,20 @@ class IBRRenderingHead(nn.Module):
     def __call__(self, rgb_feats, ray_diffs, proj_mask):
         """
         Args:
-          rgb_feats: (R, S, V, in_feat_ch + 3) [src RGB | tex feat | geo latent].
-          ray_diffs: (R, S, V, 4) [unit ray-difference dir, dot product].
-          proj_mask: (R, S, V, 1) validity of each view's projection.
+          rgb_feats: (V, N, in_feat_ch + 3) [src RGB | tex feat | geo latent].
+          ray_diffs: (V, N, 4) [unit ray-difference dir, dot product].
+          proj_mask: (V, N, 1) validity of each view\'s projection.
         Returns:
-          (R, S, 3) blended colors.
+          (N, 3) blended colors.
         """
-        V = rgb_feats.shape[-2]
+        V = rgb_feats.shape[0]
         width = self.in_feat_ch + 3
 
         ani_al = self.param("ani_al", constant(0.2), ())
 
         dir_feat = _dense(16, self.dtype)(ray_diffs)
         dir_feat = nn.elu(dir_feat)
-        dir_feat = _dense(width)(dir_feat)
+        dir_feat = _dense(width, self.dtype)(dir_feat)
         dir_feat = nn.elu(dir_feat)
 
         src_rgb = rgb_feats[..., :3]
@@ -59,25 +66,31 @@ class IBRRenderingHead(nn.Module):
 
         dot = ray_diffs[..., 3:4]
         exp_dot = jnp.exp(jnp.abs(ani_al) * (dot - 1.0))
-        w = (exp_dot - jnp.min(exp_dot, axis=-2, keepdims=True)) * proj_mask
-        w = w / (jnp.sum(w, axis=-2, keepdims=True) + 1e-8)
+        w = (exp_dot - jnp.min(exp_dot, axis=0, keepdims=True)) * proj_mask
+        w = w / (jnp.sum(w, axis=0, keepdims=True) + 1e-8)
 
-        mean, var = weighted_mean_var(feats, w)
-        fused = jnp.concatenate([mean, var], axis=-1)  # (R, S, 1, 2*width)
-        fused = jnp.broadcast_to(fused, fused.shape[:-2] + (V, fused.shape[-1]))
+        mean, var = weighted_mean_var(feats, w, axis=0)
+        fused = jnp.concatenate([mean, var], axis=-1)       # (1, N, 2*width)
+        fused = jnp.broadcast_to(fused, (V,) + fused.shape[1:])
 
-        x = jnp.concatenate([fused, feats], axis=-1)  # (R, S, V, 3*width)
+        x = jnp.concatenate([fused, feats], axis=-1)        # (V, N, 3*width)
         x = nn.elu(_dense(64, self.dtype)(x))
         x = nn.elu(_dense(32, self.dtype)(x))
 
         pred = nn.elu(_dense(33, self.dtype)(nn.elu(_dense(32, self.dtype)(x * w))))
         res, vis = pred[..., :-1], pred[..., -1:]
         x = x + res
-        vis = nn.sigmoid(_dense(1, self.dtype)(nn.elu(_dense(32, self.dtype)(x * nn.sigmoid(vis) * proj_mask))))
+        vis = nn.sigmoid(
+            _dense(1, self.dtype)(
+                nn.elu(_dense(32, self.dtype)(x * nn.sigmoid(vis) * proj_mask))
+            )
+        )
         vis = vis * proj_mask
 
-        x = jnp.concatenate([x, vis, ray_diffs], axis=-1)  # (..., 32+1+4)
-        x = _dense(1, self.dtype)(nn.elu(_dense(8, self.dtype)(nn.elu(_dense(16, self.dtype)(x)))))
-        logits = jnp.where(proj_mask == 0.0, -1e9, x)
-        blend = nn.softmax(logits, axis=-2)
-        return jnp.sum(src_rgb * blend, axis=-2)
+        x = jnp.concatenate([x, vis, ray_diffs], axis=-1)   # (V, N, 32+1+4)
+        x = _dense(1, self.dtype)(
+            nn.elu(_dense(8, self.dtype)(nn.elu(_dense(16, self.dtype)(x))))
+        )
+        logits = jnp.where(proj_mask == 0.0, -1e9, x.astype(jnp.float32))
+        blend = nn.softmax(logits, axis=0)
+        return jnp.sum(src_rgb * blend, axis=0)

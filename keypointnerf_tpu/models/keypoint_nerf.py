@@ -187,13 +187,18 @@ class KeypointNeRF(nn.Module):
         self.gcompress = nn.Dense(c.gcompress_out, dtype=dt)
 
     # ------------------------------------------------------------------ encode
-    def encode(self, src_images):
+    def encode(self, src_images, src_masks=None):
         """Run the CNN encoders over the V source views.
 
         Reference attach_geo_feat/attach_tex_feat (src/model.py:653-680):
         images are scaled to [-1, 1]; geometry features come back as
-        [coarse (V, H/4, W/4, 64), hires (V, H/2, W/2, 8)], texture features
+        [coarse (V, H/4, W/4, 64), hires (V, H, W, 8)], texture features
         as (V, H/2, W/2, 8).
+
+        TPU gather fusion: the per-point bilinear sampling is a hot
+        non-matmul cost, so maps of equal resolution are concatenated and
+        gathered once — "full" packs [geo_hd | src RGB | fg mask] (12 ch at
+        input resolution) when `src_masks` is provided.
         """
         from .cnn import avg_pool2
 
@@ -206,7 +211,17 @@ class KeypointNeRF(nn.Module):
             x_tex = avg_pool2(x_tex)
         feat_geo = self.geo_encoder(x_geo)
         feat_tex = self.tex_encoder(x_tex)
-        return {"geo": feat_geo, "tex": feat_tex}
+        feats = {"geo": feat_geo, "tex": feat_tex}
+        if src_masks is not None and feat_geo[1].shape[1:3] == src_images.shape[1:3]:
+            feats["full"] = jnp.concatenate(
+                [
+                    feat_geo[1],
+                    src_images.astype(feat_geo[1].dtype),
+                    src_masks.astype(feat_geo[1].dtype),
+                ],
+                axis=-1,
+            )
+        return feats
 
     # ----------------------------------------------------------------- query
     def query_points(
@@ -240,10 +255,22 @@ class KeypointNeRF(nn.Module):
         in_xy = jnp.all((xy >= -1.0 - eps) & (xy <= 1.0 + eps), axis=-1, keepdims=True)
         mask = (in_xy & (zn >= -1.0)).astype(jnp.float32)  # (V, N, 1)
 
+        # fused full-res gather: [geo_hd | src RGB | fg mask] in one pass
+        # when encode() packed them; separate gathers otherwise
+        hd_ch = c.geo_out_ch_hd
+        if "full" in feats:
+            full_xy = multiview_bilinear_sample(feats["full"], xy)  # (V, N, 12)
+            feat_hd = full_xy[..., :hd_ch]
+            img_xy = full_xy[..., hd_ch : hd_ch + 3]
+            fg = full_xy[..., hd_ch + 3 : hd_ch + 4]
+        else:
+            feat_hd = multiview_bilinear_sample(feats["geo"][1], xy)
+            img_xy = multiview_bilinear_sample(vb.src_images, xy)
+            fg = multiview_bilinear_sample(vb.src_masks, xy)
+
         # all views must land on the foreground (reference model.py:732-739)
         all_valid = jnp.all(mask > 0.0, axis=0)
         if not c.disable_fg_mask:
-            fg = multiview_bilinear_sample(vb.src_masks, xy)   # (V, N, 1)
             all_valid = all_valid & jnp.all(fg > 0.1, axis=0)
         mask = mask * all_valid[None].astype(mask.dtype)
 
@@ -269,9 +296,9 @@ class KeypointNeRF(nn.Module):
         pw = pw / (jnp.sum(pw, axis=0, keepdims=True) + 1e-6)
         pw = jax.lax.stop_gradient(pw)
 
-        # pixel-aligned geometry features (reference model.py:761-769)
+        # pixel-aligned features (reference model.py:761-769)
         feat_coarse = multiview_bilinear_sample(feats["geo"][0], xy)  # (V, N, 64)
-        feat_hd = multiview_bilinear_sample(feats["geo"][1], xy)      # (V, N, 8)
+        feat_xy = multiview_bilinear_sample(feats["tex"], xy)         # (V, N, 8)
 
         # relative spatial encoding (reference model.py:771-775 → spatial.py)
         pts_cam = world_to_cam(pts[None], vb.src_R, vb.src_t)    # (V, N, 3)
@@ -300,8 +327,6 @@ class KeypointNeRF(nn.Module):
             )
 
         # ---- color (reference query_color, model.py:784-843)
-        img_xy = multiview_bilinear_sample(vb.src_images, xy)   # (V, N, 3)
-        feat_xy = multiview_bilinear_sample(feats["tex"], xy)   # (V, N, 8)
         latent24 = self.gcompress(latent_fused)                 # (N, 24)
         latent24 = jnp.broadcast_to(latent24[None], (V, N, c.gcompress_out))
         rgb_feat = jnp.concatenate(
@@ -318,17 +343,12 @@ class KeypointNeRF(nn.Module):
         rd_dot = jnp.sum(cam_rays * view_dirs[None], axis=-1, keepdims=True)
         ray_diff = jnp.concatenate([rd_dir, rd_dot], axis=-1)   # (V, N, 4)
 
-        # (V, N, C) -> (R, S, V, C); the head is per-sample over views, so
-        # grouping N into rays x samples is purely layout.
-        R = N // n_samples
-
-        def to_rsvc(x):
-            return x.reshape(V, R, n_samples, x.shape[-1]).transpose(1, 2, 0, 3)
-
+        # head stays in the native view-major (V, N, C) layout — the
+        # reference's (rays, samples, views, C) reshape (model.py:828-838)
+        # would materialize large transposes for no semantic difference
         rgb = self.ibr_head(
-            to_rsvc(rgb_feat), to_rsvc(ray_diff.astype(cdt)), to_rsvc(mask.astype(cdt))
-        )  # (R, S, 3)
-        rgb = rgb.reshape(N, 3)
+            rgb_feat, ray_diff.astype(cdt), mask.astype(cdt)
+        )  # (N, 3)
 
         sdf = out[..., 0:1].astype(jnp.float32)
         rad = out[..., 1:2].astype(jnp.float32)
@@ -454,7 +474,7 @@ class KeypointNeRF(nn.Module):
         H, W = vb.tar_image.shape[:2]
         rng = self.make_rng("render") if train else None
 
-        feats = self.encode(vb.src_images)
+        feats = self.encode(vb.src_images, vb.src_masks)
 
         if train:
             rng, k_patch = jax.random.split(rng)

@@ -98,7 +98,7 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
     )
     def _render(params, vb: ViewBatch, height: int, width: int):
         cfg = model.cfg
-        feats = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+        feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
         pix = pixel_grid(height, width)
         origin, dirs, near, far = camera_rays(
             pix.astype(jnp.float32), vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar

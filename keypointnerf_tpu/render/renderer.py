@@ -72,7 +72,7 @@ def render_image(
     Returns dict of (H', W', C) images: rgb_coarse, rgb_fine, depth_*, acc_*.
     """
     cfg = model.cfg
-    feats = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+    feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
     pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
     origin, dirs, near, far = camera_rays(
         pix.astype(jnp.float32), vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar

@@ -80,7 +80,7 @@ def main():
     # ---- encode only, x REPS
     def encode_many(params, vb):
         def one(acc, _):
-            f = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+            f = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
             return acc + jnp.sum(f["geo"][0]) + jnp.sum(f["tex"]), None
         total, _ = jax.lax.scan(one, jnp.asarray(0.0, jnp.float32), jnp.arange(REPS))
         return total
@@ -93,7 +93,7 @@ def main():
     R, t = jnp.asarray(R), jnp.asarray(t)
 
     def render_full(params, vb, R, t, fine):
-        feats = model.apply(params, vb.src_images, method=KeypointNeRF.encode)
+        feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
         origin, dirs, near, far = camera_rays(pix, vb.tar_K, R, t, cfg.znear, cfg.zfar)
         out = render_rays_chunked(
             model, params, feats, vb, origin, dirs, near, far, chunk=CHUNK,
@@ -161,5 +161,102 @@ def main():
     measure("bilinear_gather_64ch_%dpts" % N, gather, fmap, xy, divisor=N, unit="s/pt")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PROFILE_SUB"):
     main()
+
+# Finer sub-component measurements (run with PROFILE_SUB=1)
+def profile_subcomponents(args=None):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--pallas", action="store_true")
+    args = ap.parse_args()
+
+    from keypointnerf_tpu.models.spatial_encoding import (
+        SpatialEncodingConfig, spatial_encode)
+    from keypointnerf_tpu.geometry.sampling import importance_z, union_sorted_z
+    from keypointnerf_tpu.geometry.compositing import composite
+    from keypointnerf_tpu.models.ibr_head import IBRRenderingHead
+
+    dev = jax.devices()[0]
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    zeros = jax.device_put(jnp.zeros(8), dev)
+
+    def measure(name, fn, *fn_args, divisor=1.0):
+        f = jax.jit(fn)
+        float(f(*fn_args))
+        float(trivial(zeros))
+        t0 = time.perf_counter()
+        float(trivial(zeros))
+        t_rt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f(*fn_args))
+        d = max(time.perf_counter() - t0 - t_rt, 1e-9)
+        print(json.dumps({"component": name, "time_s": round(d, 4)}))
+        return d
+
+    V, N, K = 3, CHUNK * 64, 24
+    ks = jax.random.split(jax.random.key(2), 8)
+    pts = jax.device_put(jax.random.normal(ks[0], (N, 3), dt), dev)
+    pts_cam = jax.device_put(jax.random.normal(ks[1], (V, N, 3), dt), dev)
+    kpt = jax.device_put(jax.random.normal(ks[2], (K, 3), dt), dev)
+    kpt_cam = jax.device_put(jax.random.normal(ks[3], (V, K, 3), dt), dev)
+    sc = SpatialEncodingConfig()
+
+    def sp_fn(pts, pts_cam, kpt, kpt_cam):
+        return jnp.sum(spatial_encode(sc, pts, pts_cam, kpt, kpt_cam))
+
+    measure(f"spatial_encode_{N}pts_{args.dtype}", sp_fn, pts, pts_cam, kpt, kpt_cam)
+
+    # IBR head on view-major (V, N, C)
+    Rr, S = CHUNK, 64
+    head = IBRRenderingHead(dtype=None if args.dtype == "f32" else jnp.bfloat16)
+    rgbf = jax.random.normal(ks[4], (V, Rr * S, 35), dt)
+    rdiff = jax.random.normal(ks[5], (V, Rr * S, 4), dt)
+    pmask = (jax.random.uniform(ks[6], (V, Rr * S, 1)) > 0.2).astype(dt)
+    hp = head.init(ks[7], rgbf, rdiff, pmask)
+    rgbf, rdiff, pmask = jax.device_put((rgbf, rdiff, pmask), dev)
+    hp = jax.device_put(hp, dev)
+
+    def ibr_fn(hp, a, b, c):
+        return jnp.sum(head.apply(hp, a, b, c))
+
+    measure(f"ibr_head_{Rr*S}pts_{args.dtype}", ibr_fn, hp, rgbf, rdiff, pmask)
+
+    # sort + compositing on (R, 192)
+    z = jax.random.uniform(ks[0], (Rr * 8, 192), dt)
+    zc = jnp.sort(z[..., :64], -1)
+    zf = z[..., 64:128]
+    alpha = jax.nn.relu(jax.random.normal(ks[1], (Rr * 8, 192), dt))
+    rgb = jax.random.uniform(ks[2], (Rr * 8, 192, 3), dt)
+    zc, zf, alpha, rgb = jax.device_put((zc, zf, alpha, rgb), dev)
+
+    def sort_fn(zc, zf):
+        return jnp.sum(union_sorted_z(zc, zf))
+
+    measure(f"union_sort_{Rr*8}x128_{args.dtype}", sort_fn, zc, zf)
+
+    def comp_fn(alpha, rgb, z):
+        out = composite(alpha, alpha, rgb, jnp.sort(z, -1))
+        return jnp.sum(out.color)
+
+    measure(f"composite_{Rr*8}x192_{args.dtype}", comp_fn, alpha, rgb, z)
+
+    # importance sampling
+    contrib = jax.random.uniform(ks[3], (Rr * 8, 62), dt)
+    zmid = jnp.sort(jax.random.uniform(ks[4], (Rr * 8, 63), dt), -1)
+    contrib, zmid = jax.device_put((contrib, zmid), dev)
+
+    def imp_fn(c, zm):
+        return jnp.sum(importance_z(jax.random.key(0), c, zm, 64))
+
+    measure(f"importance_{Rr*8}rays_{args.dtype}", imp_fn, contrib, zmid)
+
+
+if __name__ == "__main__" and os.environ.get("PROFILE_SUB"):
+    profile_subcomponents()
