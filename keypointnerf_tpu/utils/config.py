@@ -48,15 +48,24 @@ class ExperimentConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
 
 
+_DTYPES = {
+    "float32": "float32", "f32": "float32",
+    "bfloat16": "bfloat16", "bf16": "bfloat16",
+}
+
+
 def _build(cls, d: Dict[str, Any]):
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():
         if k not in fields:
             raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
-        ft = fields[k].type
         if isinstance(v, dict) and dataclasses.is_dataclass(_SUB.get(k)):
             kwargs[k] = _build(_SUB[k], v)
+        elif k == "compute_dtype" and isinstance(v, str):
+            import jax.numpy as jnp
+
+            kwargs[k] = jnp.dtype(_DTYPES.get(v, v)).type
         elif isinstance(v, list):
             kwargs[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
         else:
