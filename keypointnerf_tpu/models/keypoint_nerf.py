@@ -96,6 +96,9 @@ class KeypointNeRFConfig:
     patch_h: int = 64
     patch_w: int = 64
     rand_noise_std: float = 0.01
+    # separate coarse/fine radiance channels (reference dr_kwargs
+    # `separate_cf`, model.py:987-993: rgba = [sdf, rad_c, rad_f, rgb])
+    separate_cf: bool = False
     znear: float = 2.0
     zfar: float = 5.0
     bkg_sdf: float = 0.1 / 100.0  # 0.1 / nml_scale (reference model.py:984)
@@ -113,6 +116,10 @@ class KeypointNeRFConfig:
     # interpret mode runs it on CPU for tests
     use_pallas_geo_mlp: bool = False
     pallas_interpret: bool = False
+    # rematerialize the point-query in the backward pass (jax.checkpoint):
+    # trades ~1.3x forward FLOPs for O(n_samples) less activation memory,
+    # enabling larger patches / batches per chip
+    remat: bool = False
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -174,9 +181,12 @@ class KeypointNeRF(nn.Module):
             dtype=dt,
         )
         dims1 = (c.sp_dim,) + tuple(c.mlp_dims1[1:])
+        dims2 = tuple(c.mlp_dims2)
+        if c.separate_cf:
+            dims2 = dims2[:-1] + (dims2[-1] + 1,)  # [sdf, rad_c, rad_f]
         self.mlp_geo = GeoFusionMLP(
             dims1=dims1,
-            dims2=tuple(c.mlp_dims2),
+            dims2=dims2,
             skip_dims=(c.geo_out_ch, c.geo_out_ch_hd),
             skip_layers=tuple(c.mlp_skip_layers),
             nl_layer=c.mlp_nl,
@@ -351,19 +361,29 @@ class KeypointNeRF(nn.Module):
         )  # (N, 3)
 
         sdf = out[..., 0:1].astype(jnp.float32)
-        rad = out[..., 1:2].astype(jnp.float32)
-        return sdf, rad, rgb.astype(jnp.float32), valid.astype(jnp.float32)
+        rads = out[..., 1:].astype(jnp.float32)  # 1 ch, or 2 with separate_cf
+        return sdf, rads, rgb.astype(jnp.float32), valid.astype(jnp.float32)
 
-    def _eval_density(self, pts, view_dirs, feats, vb, n_samples, rng, train):
+    def _eval_density(self, pts, view_dirs, feats, vb, n_samples, rng, train,
+                      fine=False):
         """eval_func of the reference renderer (src/model.py:978-997):
-        background sdf substitution, radiance noise, alpha = mask*relu(rad)."""
+        background sdf substitution, radiance noise, alpha = mask*relu(rad).
+        With cfg.separate_cf the fine pass reads the second radiance channel
+        (reference model.py:987-990)."""
         c = self.cfg
         noise_rng = None
         if train and rng is not None:
             rng, noise_rng = jax.random.split(rng)
-        sdf, rad, rgb, valid = self.query_points(
-            pts, view_dirs, feats, vb, n_samples, rng, train
-        )
+        if c.remat and train:
+            query = nn.remat(type(self).query_points, static_argnums=(5, 7))
+            sdf, rads, rgb, valid = query(
+                self, pts, view_dirs, feats, vb, n_samples, rng, train
+            )
+        else:
+            sdf, rads, rgb, valid = self.query_points(
+                pts, view_dirs, feats, vb, n_samples, rng, train
+            )
+        rad = rads[..., 1:2] if (c.separate_cf and fine) else rads[..., 0:1]
         sdf = valid * sdf + (1.0 - valid) * c.bkg_sdf
         if train and c.rand_noise_std > 0.0:
             rad = rad + jax.random.normal(noise_rng, rad.shape) * c.rand_noise_std
@@ -431,7 +451,7 @@ class KeypointNeRF(nn.Module):
         view = jnp.broadcast_to(dirs[:, None, :], pts.shape)
         alpha, sdf, rgb = self._eval_density(
             pts.reshape(-1, 3), view.reshape(-1, 3), feats, vb, n_all,
-            k_fine, train,
+            k_fine, train, fine=True,
         )
         fine_out = composite(
             alpha.reshape(Rn, n_all), sdf.reshape(Rn, n_all),

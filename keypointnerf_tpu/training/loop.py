@@ -106,8 +106,11 @@ class Trainer:
             )
             pred = np.clip(np.asarray(out["rgb_fine"]), 0, 1)
             gt = np.asarray(vb.tar_image)[::stride, ::stride]
-            strip = np.concatenate([gt, pred], axis=1)
-            self.metrics.image(step, "val/gt_vs_pred", strip)
+            # source-view strip + gt + prediction (reference logs the same
+            # composite, src/model.py:497-505, 519-520)
+            srcs = [np.asarray(im)[::stride, ::stride] for im in vb.src_images]
+            strip = np.concatenate(srcs + [gt, pred], axis=1)
+            self.metrics.image(step, "val/src_gt_pred", strip)
 
     def fit(self, max_steps: Optional[int] = None):
         from ..utils.profiling import StepTimer

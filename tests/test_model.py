@@ -86,3 +86,49 @@ def test_eval_deterministic(model_and_params):
 
 def test_spatial_dim_wired(model_and_params):
     assert TINY.sp_dim == (1 + 2 * 3) * 24  # 168 (reference model.py:569-570)
+
+
+@pytest.mark.slow
+def test_remat_matches_non_remat():
+    """cfg.remat must not change forward values (only backward memory)."""
+    import dataclasses
+
+    model = KeypointNeRF(TINY)
+    model_r = KeypointNeRF(dataclasses.replace(TINY, remat=True))
+    vb = tiny_batch()
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    rngs = {"render": jax.random.key(5)}
+    out = model.apply(params, vb, True, rngs=rngs)
+    out_r = model_r.apply(params, vb, True, rngs=rngs)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_fine"]), np.asarray(out_r["rgb_fine"]), atol=1e-6
+    )
+
+    def loss(m, p):
+        o = m.apply(p, vb, True, rngs=rngs)
+        return jnp.mean(jnp.abs(o["rgb_fine"] - o["target_rgb"]))
+
+    g = jax.grad(lambda p: loss(model, p))(params)
+    g_r = jax.grad(lambda p: loss(model_r, p))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_separate_cf_config():
+    """separate_cf adds a fine radiance channel (reference model.py:987-993)."""
+    import dataclasses
+
+    model = KeypointNeRF(dataclasses.replace(TINY, separate_cf=True))
+    vb = tiny_batch()
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    # fusion head output widened to 3
+    k = params["params"]["mlp_geo"]["MLP_0"]["WNDense_2"]["kernel"]
+    assert k.shape[-1] == 3
+    out = model.apply(params, vb, True, rngs={"render": jax.random.key(2)})
+    assert out["rgb_fine"].shape == (8, 8, 3)
+    assert np.all(np.isfinite(out["rgb_fine"]))
