@@ -49,7 +49,7 @@ def main():
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
     from keypointnerf_tpu.render.renderer import render_rays_chunked
 
-    cfg = KeypointNeRFConfig(compute_dtype=jnp.bfloat16)  # zju defaults, bf16 inference
+    cfg = KeypointNeRFConfig(compute_dtype=jnp.bfloat16, fused_feature_map=True)  # fast inference path
     model = KeypointNeRF(cfg)
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 

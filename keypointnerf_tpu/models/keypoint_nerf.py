@@ -120,6 +120,15 @@ class KeypointNeRFConfig:
     # trades ~1.3x forward FLOPs for O(n_samples) less activation memory,
     # enabling larger patches / batches per chip
     remat: bool = False
+    # single fused feature map: align_corners-upsample the coarse and tex
+    # maps to input resolution at encode time and concatenate ALL per-view
+    # features ([coarse 64 | hd 8 | tex 8 | rgb 3 | mask 1] = 84 ch) so the
+    # point stage does ONE bilinear gather instead of three. Gathers are the
+    # dominant render cost on TPU; the upsample is amortized over all
+    # samples. Numerics: interpolating the upsampled map is a piecewise-
+    # linear approximation of the original bilinear lookup (no sub-pixel
+    # shift — align_corners is preserved); train and eval use the same path.
+    fused_feature_map: bool = False
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -222,7 +231,32 @@ class KeypointNeRF(nn.Module):
         feat_geo = self.geo_encoder(x_geo)
         feat_tex = self.tex_encoder(x_tex)
         feats = {"geo": feat_geo, "tex": feat_tex}
-        if src_masks is not None and feat_geo[1].shape[1:3] == src_images.shape[1:3]:
+        full_res = feat_geo[1].shape[1:3] == src_images.shape[1:3]
+        if src_masks is not None and full_res and self.cfg.fused_feature_map:
+            H, W = src_images.shape[1:3]
+            grid = pixel_grid(H, W).astype(jnp.float32)
+            xy = jnp.stack(
+                [2.0 * grid[:, 0] / (W - 1.0) - 1.0, 2.0 * grid[:, 1] / (H - 1.0) - 1.0],
+                axis=-1,
+            )
+            xy = jnp.broadcast_to(xy[None], (src_images.shape[0],) + xy.shape)
+            up_coarse = multiview_bilinear_sample(feat_geo[0], xy).reshape(
+                src_images.shape[0], H, W, -1
+            )
+            up_tex = multiview_bilinear_sample(feat_tex, xy).reshape(
+                src_images.shape[0], H, W, -1
+            )
+            feats["fused"] = jnp.concatenate(
+                [
+                    up_coarse,
+                    feat_geo[1],
+                    up_tex.astype(feat_geo[1].dtype),
+                    src_images.astype(feat_geo[1].dtype),
+                    src_masks.astype(feat_geo[1].dtype),
+                ],
+                axis=-1,
+            )
+        elif src_masks is not None and full_res:
             feats["full"] = jnp.concatenate(
                 [
                     feat_geo[1],
@@ -265,10 +299,20 @@ class KeypointNeRF(nn.Module):
         in_xy = jnp.all((xy >= -1.0 - eps) & (xy <= 1.0 + eps), axis=-1, keepdims=True)
         mask = (in_xy & (zn >= -1.0)).astype(jnp.float32)  # (V, N, 1)
 
-        # fused full-res gather: [geo_hd | src RGB | fg mask] in one pass
-        # when encode() packed them; separate gathers otherwise
+        # fused gathers: ONE pass over the packed per-view feature map when
+        # encode() built it; grouped/separate gathers otherwise
         hd_ch = c.geo_out_ch_hd
-        if "full" in feats:
+        co_ch = c.geo_out_ch
+        tx_ch = c.tex_out_ch
+        feat_coarse = feat_xy = None
+        if "fused" in feats:
+            fx = multiview_bilinear_sample(feats["fused"], xy)  # (V, N, 84)
+            feat_coarse = fx[..., :co_ch]
+            feat_hd = fx[..., co_ch : co_ch + hd_ch]
+            feat_xy = fx[..., co_ch + hd_ch : co_ch + hd_ch + tx_ch]
+            img_xy = fx[..., co_ch + hd_ch + tx_ch : co_ch + hd_ch + tx_ch + 3]
+            fg = fx[..., co_ch + hd_ch + tx_ch + 3 :]
+        elif "full" in feats:
             full_xy = multiview_bilinear_sample(feats["full"], xy)  # (V, N, 12)
             feat_hd = full_xy[..., :hd_ch]
             img_xy = full_xy[..., hd_ch : hd_ch + 3]
@@ -306,9 +350,12 @@ class KeypointNeRF(nn.Module):
         pw = pw / (jnp.sum(pw, axis=0, keepdims=True) + 1e-6)
         pw = jax.lax.stop_gradient(pw)
 
-        # pixel-aligned features (reference model.py:761-769)
-        feat_coarse = multiview_bilinear_sample(feats["geo"][0], xy)  # (V, N, 64)
-        feat_xy = multiview_bilinear_sample(feats["tex"], xy)         # (V, N, 8)
+        # pixel-aligned features (reference model.py:761-769); already
+        # fetched above when the fused map is in play
+        if feat_coarse is None:
+            feat_coarse = multiview_bilinear_sample(feats["geo"][0], xy)  # (V, N, 64)
+        if feat_xy is None:
+            feat_xy = multiview_bilinear_sample(feats["tex"], xy)         # (V, N, 8)
 
         # relative spatial encoding (reference model.py:771-775 → spatial.py)
         pts_cam = world_to_cam(pts[None], vb.src_R, vb.src_t)    # (V, N, 3)

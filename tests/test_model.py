@@ -132,3 +132,24 @@ def test_separate_cf_config():
     out = model.apply(params, vb, True, rngs={"render": jax.random.key(2)})
     assert out["rgb_fine"].shape == (8, 8, 3)
     assert np.all(np.isfinite(out["rgb_fine"]))
+
+
+@pytest.mark.slow
+def test_fused_feature_map_close_to_default():
+    """The single-gather fused-map path approximates the default path:
+    piecewise-linear re-interpolation, align_corners preserved."""
+    import dataclasses
+
+    model = KeypointNeRF(TINY)
+    model_f = KeypointNeRF(dataclasses.replace(TINY, fused_feature_map=True))
+    vb = tiny_batch()
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    rngs = {"render": jax.random.key(7)}
+    out = model.apply(params, vb, True, rngs=rngs)
+    out_f = model_f.apply(params, vb, True, rngs=rngs)
+    d = np.abs(np.asarray(out["rgb_fine"]) - np.asarray(out_f["rgb_fine"]))
+    assert np.all(np.isfinite(out_f["rgb_fine"]))
+    # close but not identical (re-interpolation of upsampled coarse/tex maps)
+    assert float(d.mean()) < 0.05, float(d.mean())
