@@ -129,6 +129,12 @@ class KeypointNeRFConfig:
     # linear approximation of the original bilinear lookup (no sub-pixel
     # shift — align_corners is preserved); train and eval use the same path.
     fused_feature_map: bool = False
+    # fine-pass ray culling (inference): only the top-K rays by coarse
+    # opacity get the fine march; the rest keep their coarse result (their
+    # composited weight is ~0 anyway). 1.0 = march all rays (reference
+    # semantics). Typical human renders hit the subject with <40% of rays,
+    # so 0.5 is conservative and cuts fine-pass points ~2x.
+    fine_topk_ratio: float = 1.0
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -494,24 +500,47 @@ class KeypointNeRF(nn.Module):
         z_all = union_sorted_z(z, z_fine)                          # (R, Sc+Sf)
         n_all = c.n_coarse + c.n_fine
 
-        pts = origin + dirs[:, None, :] * z_all[..., None]
-        view = jnp.broadcast_to(dirs[:, None, :], pts.shape)
+        cull = (not train) and c.fine_topk_ratio < 1.0
+        if cull:
+            # fine-pass ray culling: march only the top-K rays by coarse
+            # opacity; the rest keep the coarse result (their contribution
+            # is ~0). Fixed K keeps shapes static.
+            K = max(1, int(Rn * c.fine_topk_ratio))
+            sel = jax.lax.top_k(coarse.acc, K)[1]                  # (K,)
+            dirs_f = jnp.take(dirs, sel, axis=0)
+            z_all_f = jnp.take(z_all, sel, axis=0)
+            Rf = K
+        else:
+            dirs_f, z_all_f, Rf = dirs, z_all, Rn
+
+        pts = origin + dirs_f[:, None, :] * z_all_f[..., None]
+        view = jnp.broadcast_to(dirs_f[:, None, :], pts.shape)
         alpha, sdf, rgb = self._eval_density(
             pts.reshape(-1, 3), view.reshape(-1, 3), feats, vb, n_all,
             k_fine, train, fine=True,
         )
         fine_out = composite(
-            alpha.reshape(Rn, n_all), sdf.reshape(Rn, n_all),
-            rgb.reshape(Rn, n_all, 3), z_all,
+            alpha.reshape(Rf, n_all), sdf.reshape(Rf, n_all),
+            rgb.reshape(Rf, n_all, 3), z_all_f,
         )
-        out.update(
-            {
-                "rgb_fine": fine_out.color,
-                "depth_fine": fine_out.depth,
-                "acc_fine": fine_out.acc,
-                "sdf_fine": fine_out.sdf,
-            }
-        )
+        if cull:
+            color = jnp.asarray(coarse.color).at[sel].set(fine_out.color)
+            depth = coarse.depth.at[sel].set(fine_out.depth)
+            acc = coarse.acc.at[sel].set(fine_out.acc)
+            sdf_full = jnp.zeros((Rn,), fine_out.sdf.dtype).at[sel].set(fine_out.sdf)
+            out.update(
+                {"rgb_fine": color, "depth_fine": depth, "acc_fine": acc,
+                 "sdf_fine": sdf_full}
+            )
+        else:
+            out.update(
+                {
+                    "rgb_fine": fine_out.color,
+                    "depth_fine": fine_out.depth,
+                    "acc_fine": fine_out.acc,
+                    "sdf_fine": fine_out.sdf,
+                }
+            )
         return out
 
     # ------------------------------------------------------------- training

@@ -92,6 +92,17 @@ def write_video(frame_dir: str, video_path: str, fps: int = 30) -> bool:
         return False
 
 
+def arc_indices(n_frames: int, arc: str = "full") -> List[int]:
+    """Camera subsets of the orbit (reference render_video kwargs
+    back_cameras/front_cameras, src/model.py:143-147)."""
+    if arc == "back":
+        return list(range(n_frames // 4, n_frames - n_frames // 4))
+    if arc == "front":
+        q = 40 // 4
+        return list(range(n_frames - q, n_frames)) + list(range(q))
+    return list(range(n_frames))
+
+
 def render_orbit(
     model,
     params,
@@ -103,6 +114,7 @@ def render_orbit(
     stride: int = 1,
     frame_indices: Optional[List[int]] = None,
     make_video: bool = True,
+    arc: str = "full",
 ):
     """Render an orbit around the subject of `vb` and write PNG frames
     (+ mp4). Returns the list of written frame paths."""
@@ -124,7 +136,9 @@ def render_orbit(
     )
     os.makedirs(out_dir, exist_ok=True)
     written = []
-    indices = frame_indices if frame_indices is not None else range(n_frames)
+    indices = (
+        frame_indices if frame_indices is not None else arc_indices(n_frames, arc)
+    )
     for idx in indices:
         K, R, t = cams[idx % n_frames]
         cam_vb = vb.replace(

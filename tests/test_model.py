@@ -153,3 +153,26 @@ def test_fused_feature_map_close_to_default():
     assert np.all(np.isfinite(out_f["rgb_fine"]))
     # close but not identical (re-interpolation of upsampled coarse/tex maps)
     assert float(d.mean()) < 0.05, float(d.mean())
+
+
+@pytest.mark.slow
+def test_fine_topk_culling_close_to_full(model_and_params):
+    """Culled fine pass matches the full render where it matters (rays the
+    coarse pass found opaque) and keeps coarse results elsewhere."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    model_c = KeypointNeRF(dataclasses.replace(TINY, fine_topk_ratio=0.5))
+    full = render_image(model, params, vb, height=64, width=64, stride=4, chunk=128)
+    culled_out = render_image(
+        model_c, params, vb, height=64, width=64, stride=4, chunk=128
+    )
+    f = np.asarray(full["rgb_fine"])
+    cu = np.asarray(culled_out["rgb_fine"])
+    acc = np.asarray(full["acc_fine"])
+    # opaque rays should match the full render closely
+    opaque = acc > 0.5
+    if opaque.sum() > 0:
+        assert np.abs(f[opaque] - cu[opaque]).mean() < 0.05
+    # overall difference is small (non-marched rays contribute ~nothing)
+    assert np.abs(f - cu).mean() < 0.03

@@ -76,3 +76,13 @@ def test_render_orbit_writes_frames(tmp_path):
 
     img = imageio.imread(written[0])
     assert img.shape == (16, 16, 3)  # 32 / stride 2
+
+
+def test_arc_indices():
+    from keypointnerf_tpu.render.video import arc_indices
+
+    assert arc_indices(8, "full") == list(range(8))
+    back = arc_indices(8, "back")
+    assert back == [2, 3, 4, 5]
+    front = arc_indices(90, "front")
+    assert front == list(range(80, 90)) + list(range(10))
