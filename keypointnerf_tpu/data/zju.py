@@ -165,8 +165,10 @@ class ZJUDataset:
 
     def _load_view(self, human: str, view_idx: int, filename: str):
         """Load one undistorted, resized, fg-masked view. Returns
-        (img, msk, K, R, t) or None if files are missing."""
-        import cv2
+        (img, msk, K, R, t) or None if files are missing.
+
+        The image ops run through the native C++ core (OpenMP; see
+        native/kpnerf_data.cc) when built, with a cv2 fallback."""
         import imageio.v2 as imageio
 
         cams = self.cams[human]
@@ -188,15 +190,25 @@ class ZJUDataset:
         t = (np.array(cams["T"][view_idx], np.float32) / 1000.0).reshape(3)
 
         img = imageio.imread(img_path).astype(np.float32) / 255.0
-        img = cv2.undistort(img, K, D)
-        msk = cv2.undistort(msk, K, D)
-
         H, W = int(img.shape[0] * self.ratio), int(img.shape[1] * self.ratio)
-        img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
-        msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
 
-        img[msk == 0] = 0.0
-        msk = (msk != 0).astype(np.float32)[..., None]
+        from . import native_loader as nl
+
+        if nl.available():
+            img = nl.undistort(img, K, D)
+            msk = nl.undistort(msk.astype(np.float32), K, D)
+            img = nl.resize_area(img, H, W)
+            msk = nl.resize_nearest(msk, H, W)
+            img, msk = nl.mask_apply(img, msk)
+        else:
+            import cv2
+
+            img = cv2.undistort(img, K, D)
+            msk = cv2.undistort(msk, K, D)
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+            msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+            img[msk == 0] = 0.0
+            msk = (msk != 0).astype(np.float32)[..., None]
         K = K.copy()
         K[:2] *= self.ratio
         return img, msk, K, R, t

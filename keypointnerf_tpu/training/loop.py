@@ -27,7 +27,9 @@ from ..utils import CheckpointManager, ExperimentConfig, MetricsWriter, save_con
 
 
 def to_viewbatch(sample: dict) -> ViewBatch:
-    return ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+    return ViewBatch(
+        **{k: jnp.asarray(v) for k, v in sample.items() if k != "meta"}
+    )
 
 
 class Trainer:
@@ -67,12 +69,41 @@ class Trainer:
             self.state = restored
             print(f"resumed from checkpoint step {step}")
 
+    def _sample_stream(self, order):
+        """Per-sample stream; uses the native C++ prefetcher pool when the
+        library is built (replaces the reference's torch DataLoader
+        workers), else loads inline."""
+        n_workers = self.cfg.data.num_workers
+        from ..data import native_loader as nl
+
+        if n_workers > 0 and nl.available():
+            pf = nl.Prefetcher(lambda i: self.train_data[int(i)], n_threads=n_workers)
+            try:
+                submitted = [int(i) for i in order]
+                pf.submit(submitted)
+                # reorder buffer: yield strictly in submission order (the
+                # reference's torch DataLoader is order-preserving too)
+                ready = {}
+                next_pos = 0
+                for _ in range(len(submitted)):
+                    idx, sample = pf.get()
+                    ready[idx] = sample
+                    while next_pos < len(submitted) and submitted[next_pos] in ready:
+                        s = ready.pop(submitted[next_pos])
+                        next_pos += 1
+                        if not isinstance(s, Exception):
+                            yield s
+            finally:
+                pf.close()
+        else:
+            for idx in order:
+                yield self.train_data[int(idx)]
+
     def _batch_iterator(self, epoch: int) -> Iterable[ViewBatch]:
         n = len(self.train_data)
         order = np.random.default_rng(self.cfg.seed + epoch).permutation(n)
         batch = []
-        for idx in order:
-            sample = self.train_data[int(idx)]
+        for sample in self._sample_stream(order):
             if sample is None:  # None-dropping collate (reference model.py:102-111)
                 continue
             batch.append(to_viewbatch(sample))

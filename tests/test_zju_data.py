@@ -131,3 +131,52 @@ def test_feeds_model_viewbatch(zju_tree, monkeypatch):
     s.pop("meta")
     vb = ViewBatch(**jax.tree.map(jnp.asarray, s))
     assert vb.src_images.shape[0] == 3
+
+
+def test_native_loader_path_matches_cv2(zju_tree, monkeypatch):
+    """ZJU view loading via the native C++ core vs the cv2 fallback."""
+    from keypointnerf_tpu.data import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("native lib unavailable")
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds = ZJUDataset(root, "train", seed=0)
+    s_native = ds[0]
+
+    monkeypatch.setattr(nl, "available", lambda: False)
+    ds2 = ZJUDataset(root, "train", seed=0)
+    s_cv2 = ds2[0]
+
+    assert s_native is not None and s_cv2 is not None
+    np.testing.assert_allclose(
+        s_native["src_images"], s_cv2["src_images"], atol=0.02
+    )
+    np.testing.assert_array_equal(s_native["src_masks"], s_cv2["src_masks"])
+    np.testing.assert_allclose(s_native["tar_image"], s_cv2["tar_image"], atol=0.02)
+
+
+def test_trainer_feeds_zju_samples(zju_tree, monkeypatch, tmp_path):
+    """End-to-end: the train loop consumes ZJU samples (meta stripped) with
+    the native prefetcher, runs one step and validates."""
+    import dataclasses
+
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig
+    from keypointnerf_tpu.training.loop import Trainer
+    from keypointnerf_tpu.utils import load_config
+
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds = ZJUDataset(root, "train", seed=0)
+
+    cfg = load_config(None, overrides={
+        "out_dir": str(tmp_path), "max_epochs": 1, "val_every_steps": 10**9,
+        "ckpt_every_steps": 10**9, "log_every_steps": 1,
+        "model.n_coarse": 4, "model.n_fine": 4, "model.patch_h": 4,
+        "model.patch_w": 4, "model.geo_n_downsample": 2,
+        "loss.lambda_vgg": 0.0, "data.num_workers": 2,
+    })
+    model = KeypointNeRF(cfg.model)
+    trainer = Trainer(cfg, model, ds, val_data=None)
+    state = trainer.fit(max_steps=1)
+    assert int(state.step) == 1
