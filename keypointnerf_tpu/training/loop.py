@@ -158,12 +158,13 @@ class Trainer:
             for batch in self._batch_iterator(epoch):
                 self.state, err = self.train_step(self.state, batch, rng)
                 timer.tick()
-                step = int(self.state.step)
-                window.append({k: float(v) for k, v in err.items()})
+                step += 1
+                # keep metrics on-device between log points: a per-step host
+                # fetch would synchronize the (async) dispatch pipeline
+                window.append(err)
                 if step % cfg.log_every_steps == 0:
-                    mean = {
-                        k: float(np.mean([w[k] for w in window])) for k in window[0]
-                    }
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *window)
+                    mean = {k: float(np.mean(np.asarray(v))) for k, v in stacked.items()}
                     mean.update(timer.metrics(rays_per_step, points_per_step))
                     self.metrics.scalars(step, mean, prefix="train/")
                     window = []
