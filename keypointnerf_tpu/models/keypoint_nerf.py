@@ -135,6 +135,10 @@ class KeypointNeRFConfig:
     # semantics). Typical human renders hit the subject with <40% of rays,
     # so 0.5 is conservative and cuts fine-pass points ~2x.
     fine_topk_ratio: float = 1.0
+    # eval-time reuse of coarse point values in the union pass (exact —
+    # the eval query is deterministic); disable to force the reference's
+    # full re-evaluation of all union depths
+    reuse_coarse_eval: bool = True
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -508,21 +512,54 @@ class KeypointNeRF(nn.Module):
             K = max(1, int(Rn * c.fine_topk_ratio))
             sel = jax.lax.top_k(coarse.acc, K)[1]                  # (K,)
             dirs_f = jnp.take(dirs, sel, axis=0)
-            z_all_f = jnp.take(z_all, sel, axis=0)
             Rf = K
         else:
-            dirs_f, z_all_f, Rf = dirs, z_all, Rn
+            sel = None
+            dirs_f, Rf = dirs, Rn
 
-        pts = origin + dirs_f[:, None, :] * z_all_f[..., None]
-        view = jnp.broadcast_to(dirs_f[:, None, :], pts.shape)
-        alpha, sdf, rgb = self._eval_density(
-            pts.reshape(-1, 3), view.reshape(-1, 3), feats, vb, n_all,
-            k_fine, train, fine=True,
-        )
-        fine_out = composite(
-            alpha.reshape(Rf, n_all), sdf.reshape(Rf, n_all),
-            rgb.reshape(Rf, n_all, 3), z_all_f,
-        )
+        # Eval-time coarse-value reuse: the union pass re-evaluates the 64
+        # coarse depths (reference model.py:1076 re-runs eval_func on the
+        # full union); without train-time noise/dropout the query is
+        # deterministic, so evaluate ONLY the new fine depths and merge the
+        # cached coarse values by a payload sort — exact result, 1/3 fewer
+        # point evaluations.
+        reuse = (not train) and c.reuse_coarse_eval and not c.separate_cf
+        if reuse:
+            z_f = jnp.take(z_fine, sel, axis=0) if cull else z_fine  # (Rf, Sf)
+            pts = origin + dirs_f[:, None, :] * z_f[..., None]
+            view = jnp.broadcast_to(dirs_f[:, None, :], pts.shape)
+            alpha_f, sdf_f, rgb_f = self._eval_density(
+                pts.reshape(-1, 3), view.reshape(-1, 3), feats, vb, c.n_fine,
+                k_fine, train, fine=True,
+            )
+            alpha_c = jnp.take(alpha, sel, axis=0) if cull else alpha
+            sdf_c = jnp.take(sdf, sel, axis=0) if cull else sdf
+            rgb_c = jnp.take(rgb, sel, axis=0) if cull else rgb
+            z_c = jnp.take(z, sel, axis=0) if cull else z
+            z_cat = jnp.concatenate([z_c, z_f], axis=-1)
+            a_cat = jnp.concatenate([alpha_c, alpha_f.reshape(Rf, c.n_fine)], -1)
+            s_cat = jnp.concatenate([sdf_c, sdf_f.reshape(Rf, c.n_fine)], -1)
+            rgb_cat = jnp.concatenate(
+                [rgb_c, rgb_f.reshape(Rf, c.n_fine, 3)], axis=-2
+            )
+            zs, as_, ss, r0, g0, b0 = jax.lax.sort(
+                (z_cat, a_cat, s_cat,
+                 rgb_cat[..., 0], rgb_cat[..., 1], rgb_cat[..., 2]),
+                dimension=-1, num_keys=1,
+            )
+            fine_out = composite(as_, ss, jnp.stack([r0, g0, b0], -1), zs)
+        else:
+            z_all_f = jnp.take(z_all, sel, axis=0) if cull else z_all
+            pts = origin + dirs_f[:, None, :] * z_all_f[..., None]
+            view = jnp.broadcast_to(dirs_f[:, None, :], pts.shape)
+            alpha_a, sdf_a, rgb_a = self._eval_density(
+                pts.reshape(-1, 3), view.reshape(-1, 3), feats, vb, n_all,
+                k_fine, train, fine=True,
+            )
+            fine_out = composite(
+                alpha_a.reshape(Rf, n_all), sdf_a.reshape(Rf, n_all),
+                rgb_a.reshape(Rf, n_all, 3), z_all_f,
+            )
         if cull:
             color = jnp.asarray(coarse.color).at[sel].set(fine_out.color)
             depth = coarse.depth.at[sel].set(fine_out.depth)

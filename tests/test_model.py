@@ -176,3 +176,20 @@ def test_fine_topk_culling_close_to_full(model_and_params):
         assert np.abs(f[opaque] - cu[opaque]).mean() < 0.05
     # overall difference is small (non-marched rays contribute ~nothing)
     assert np.abs(f - cu).mean() < 0.03
+
+
+@pytest.mark.slow
+def test_reuse_coarse_eval_exact(model_and_params):
+    """Eval-time coarse-value reuse must match full union re-evaluation."""
+    import dataclasses
+
+    model, params, vb = model_and_params  # TINY has reuse_coarse_eval=True
+    model_full = KeypointNeRF(dataclasses.replace(TINY, reuse_coarse_eval=False))
+    a = render_image(model, params, vb, height=64, width=64, stride=4, chunk=128)
+    b = render_image(model_full, params, vb, height=64, width=64, stride=4, chunk=128)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb_fine"]), np.asarray(b["rgb_fine"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["acc_fine"]), np.asarray(b["acc_fine"]), atol=3e-5
+    )
