@@ -370,11 +370,34 @@ class KeypointNeRF(nn.Module):
         # relative spatial encoding (reference model.py:771-775 → spatial.py)
         pts_cam = world_to_cam(pts[None], vb.src_R, vb.src_t)    # (V, N, 3)
         kpt_cam = world_to_cam(vb.kpt3d[None], vb.src_R, vb.src_t)  # (V, Kp, 3)
-        sp = spatial_encode(
-            c.sp_config, pts, pts_cam, vb.kpt3d, kpt_cam, z_ndc=zn, xy_ndc=xy
-        )
 
-        if c.use_pallas_geo_mlp and not self.is_initializing():
+        use_pallas = c.use_pallas_geo_mlp and not self.is_initializing()
+        if use_pallas and c.sp_type == "rel_z_decay":
+            # sp-fused kernel: the 168-wide encoding is computed in VMEM and
+            # never materialized in HBM
+            from ..ops.pallas import sp_geo_mlp_apply
+
+            out, valid, _, latent_fused = sp_geo_mlp_apply(
+                self.mlp_geo.variables["params"],
+                pts_cam.astype(jnp.float32),
+                kpt_cam.astype(jnp.float32),
+                feat_coarse.astype(jnp.float32),
+                feat_hd.astype(jnp.float32),
+                mask.astype(jnp.float32),
+                pw.astype(jnp.float32),
+                sp_level=c.sp_level,
+                sp_sigma=c.sp_sigma,
+                sp_scale=c.sp_scale,
+                interpret=c.pallas_interpret,
+                compute_dtype=cdt,
+            )
+            sp = None
+        else:
+            sp = spatial_encode(
+                c.sp_config, pts, pts_cam, vb.kpt3d, kpt_cam, z_ndc=zn, xy_ndc=xy
+            )
+
+        if use_pallas and c.sp_type != "rel_z_decay":
             from ..ops.pallas import geo_mlp_apply
 
             out, valid, _, latent_fused = geo_mlp_apply(
@@ -387,7 +410,7 @@ class KeypointNeRF(nn.Module):
                 interpret=c.pallas_interpret,
                 compute_dtype=cdt,
             )
-        else:
+        elif not use_pallas:
             out, valid, _, latent_fused = self.mlp_geo(
                 sp.astype(cdt), [feat_coarse.astype(cdt), feat_hd.astype(cdt)],
                 mask.astype(cdt), pw.astype(cdt),

@@ -1,3 +1,13 @@
-from .fused_geo_mlp import fold_weight_norm, fused_geo_mlp_reference, geo_mlp_apply
+from .fused_geo_mlp import (
+    fold_weight_norm,
+    fused_geo_mlp_reference,
+    geo_mlp_apply,
+    sp_geo_mlp_apply,
+)
 
-__all__ = ["fold_weight_norm", "geo_mlp_apply", "fused_geo_mlp_reference"]
+__all__ = [
+    "fold_weight_norm",
+    "geo_mlp_apply",
+    "fused_geo_mlp_reference",
+    "sp_geo_mlp_apply",
+]

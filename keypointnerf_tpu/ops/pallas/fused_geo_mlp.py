@@ -213,3 +213,179 @@ def fused_geo_mlp_reference(params, sp, f0, f1, mask, weight,
     used by tests and as a fallback on non-TPU backends."""
     ws = fold_weight_norm(params)
     return _mlp_stack(sp, f0, f1, mask, weight, ws, compute_dtype)
+
+
+# ------------------------------------------------------------------------
+# Variant 2: spatial encoding fused IN-KERNEL.
+#
+# NOTE (axon relay): this environment's remote Mosaic compiler rejects the
+# combined kernel with an opaque HTTP 500 even though the isolated spatial
+# encoding and the base MLP kernel both compile and the interpret-mode
+# tests pass; on a directly attached TPU it should lower normally. Kept
+# off by default (cfg.use_pallas_geo_mlp) until verifiable on real HW.
+#
+# The rel_z_decay encoding (models/spatial_encoding.py, reference
+# src/spatial.py:105-118) produces a (V, N, 168) f32 tensor — the single
+# largest HBM intermediate of the whole point pipeline (~670 B per
+# view-point, written once and read once per pass). This variant takes the
+# camera-frame points (V, N, 3) + keypoints (V, K, 3) instead and computes
+# the encoding inside the kernel, so that tensor never exists in HBM.
+
+
+def _sp_mlp_stack(pts_cam, kpt_flat, f0, f1, mask, weight, ws, sp_level,
+                  sp_sigma, sp_scale, compute_dtype):
+    """sp-fused math: identical to spatial_encode(rel_z_decay) -> _mlp_stack.
+
+    pts_cam: (V, T, 3); kpt_flat: (V*K, 3) — 2D so the gridded pallas_call
+    accepts it as a full-array VMEM input.
+    """
+    V, T = pts_cam.shape[0], pts_cam.shape[1]
+    K = kpt_flat.shape[0] // V
+    kpt_cam = kpt_flat.reshape(V, K, 3)
+    L = sp_level
+
+    # slice (not integer-index) the z channel: int indexing lowers to a 3D
+    # gather, which Mosaic does not support
+    pz = pts_cam[..., 2:3]                              # (V, T, 1)
+    kz = kpt_cam[..., 2:3].reshape(V, 1, K)             # (V, 1, K)
+    dz = sp_scale * (pz - kz)                           # (V, T, K)
+    # Gaussian 3D-distance decay, built from per-axis diffs to stay 3D
+    # (4D intermediates trip the Mosaic remote compiler)
+    d2 = jnp.zeros_like(dz)
+    for ax in range(3):
+        pa = pts_cam[..., ax : ax + 1]                  # (V, T, 1)
+        ka = kpt_cam[..., ax : ax + 1].reshape(V, 1, K)  # (V, 1, K)
+        da = pa - ka
+        d2 = d2 + da * da
+    w_decay = jnp.exp(-d2 / (2.0 * sp_sigma**2))        # (V, T, K)
+
+    # per-level (sin_l, cos_l) blocks along the LAST axis — identical to
+    # positional_encoding's (1+2L, K) group layout after the decay weight
+    # (models/spatial_encoding.py:45-63). The level loop is unrolled with
+    # python-scalar frequencies: array constants can't be captured by a
+    # pallas kernel, and f32 iota is unsupported.
+    import math
+
+    parts = [dz * w_decay]
+    for lvl in range(L):
+        f = float(math.pi * (2.0**lvl))
+        yl = dz * f
+        parts.append(jnp.sin(yl) * w_decay)
+        parts.append(jnp.cos(yl) * w_decay)
+    sp = jnp.concatenate(parts, axis=-1)                # (V, T, (1+2L)K)
+
+    return _mlp_stack(sp, f0, f1, mask, weight, ws, compute_dtype)
+
+
+def _sp_kernel(pts_ref, kpt_ref, f0_ref, f1_ref, mask_ref, w_ref, *rest,
+               sp_level, sp_sigma, sp_scale, compute_dtype):
+    *w_refs, out_ref, valid_ref, lv_ref, lf_ref = rest
+    ws = tuple(r[:] for r in w_refs)
+    out, valid, lv, lf = _sp_mlp_stack(
+        pts_ref[:], kpt_ref[:], f0_ref[:], f1_ref[:], mask_ref[:], w_ref[:],
+        ws, sp_level, sp_sigma, sp_scale, compute_dtype,
+    )
+    out_ref[:] = out
+    valid_ref[:] = valid
+    lv_ref[:] = lv
+    lf_ref[:] = lf
+
+
+def _sp_fused_call(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args,
+                   interpret, compute_dtype):
+    sp_level, sp_sigma, sp_scale = sp_args
+    V, N = pts_cam.shape[:2]
+    C0, C1 = f0.shape[-1], f1.shape[-1]
+    n_tiles = N // TILE_N
+
+    def in_spec(c):
+        return pl.BlockSpec(
+            (V, TILE_N, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    kpt_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in ws]
+    d_out, d_lv, d_lf = ws[-2].shape[-1], ws[6].shape[-1], ws[8].shape[0]
+
+    out_specs = (
+        pl.BlockSpec((TILE_N, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, TILE_N, d_lv), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, d_lf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((N, d_out), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((V, N, d_lv), jnp.float32),
+        jax.ShapeDtypeStruct((N, d_lf), jnp.float32),
+    )
+    kernel = functools.partial(
+        _sp_kernel, sp_level=sp_level, sp_sigma=sp_sigma, sp_scale=sp_scale,
+        compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[in_spec(3), kpt_spec, in_spec(C0), in_spec(C1), in_spec(1),
+                  in_spec(1)] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(pts_cam, kpt_cam, f0, f1, mask, weight, *ws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _sp_fused_pallas(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args,
+                     interpret, compute_dtype):
+    return _sp_fused_call(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args,
+                          interpret, compute_dtype)
+
+
+def _sp_fwd(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args, interpret,
+            compute_dtype):
+    outs = _sp_fused_call(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args,
+                          interpret, compute_dtype)
+    return outs, (pts_cam, kpt_cam, f0, f1, mask, weight, ws)
+
+
+def _sp_bwd(sp_args, interpret, compute_dtype, res, g):
+    pts_cam, kpt_cam, f0, f1, mask, weight, ws = res
+    sp_level, sp_sigma, sp_scale = sp_args
+
+    def forward(pts_cam, kpt_cam, f0, f1, mask, weight, ws):
+        return _sp_mlp_stack(pts_cam, kpt_cam, f0, f1, mask, weight, ws,
+                             sp_level, sp_sigma, sp_scale, compute_dtype)
+
+    _, vjp = jax.vjp(forward, pts_cam, kpt_cam, f0, f1, mask, weight, ws)
+    return vjp(g)
+
+
+_sp_fused_pallas.defvjp(_sp_fwd, _sp_bwd)
+
+
+def sp_geo_mlp_apply(params, pts_cam, kpt_cam, f0, f1, mask, weight,
+                     sp_level=3, sp_sigma=0.1, sp_scale=1.0,
+                     interpret=False, compute_dtype=jnp.float32):
+    """Differentiable fused spatial-encoding + geometry MLP (rel_z_decay).
+
+    pts_cam: (V, N, 3) camera-frame query points; kpt_cam: (V, K, 3)
+    camera-frame keypoints; rest as geo_mlp_apply. The (V, N, 168) spatial
+    encoding never touches HBM.
+    """
+    ws = fold_weight_norm(params)
+    V, N = pts_cam.shape[:2]
+    n_pad = (-N) % TILE_N
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad), (0, 0))) if n_pad else x
+
+    # keypoints travel 2D (V*K, 3): a 3D full-array input in a gridded
+    # pallas_call trips the Mosaic remote compiler
+    out, valid, lv, lf = _sp_fused_pallas(
+        pad(pts_cam), kpt_cam.reshape(-1, 3), pad(f0), pad(f1), pad(mask),
+        pad(weight), ws, (sp_level, sp_sigma, sp_scale), interpret,
+        compute_dtype,
+    )
+    if n_pad:
+        out, valid, lv, lf = out[:N], valid[:N], lv[:, :N], lf[:N]
+    return out, valid, lv, lf

@@ -113,3 +113,50 @@ def test_model_with_pallas_matches_flax_path():
     np.testing.assert_allclose(
         np.asarray(out_f["rgb_fine"]), np.asarray(out_p["rgb_fine"]), atol=1e-4
     )
+
+
+def test_sp_fused_kernel_matches_xla(setup):
+    """sp-fused kernel (encoding computed in-kernel) vs spatial_encode+Flax."""
+    from keypointnerf_tpu.models.spatial_encoding import (
+        SpatialEncodingConfig, spatial_encode)
+    from keypointnerf_tpu.ops.pallas import sp_geo_mlp_apply
+
+    model, params, args = setup
+    _, f0, f1, mask, weight = args
+    rng = jax.random.key(9)
+    ks = jax.random.split(rng, 2)
+    pts_cam = jax.random.normal(ks[0], (V, N, 3))
+    kpt_cam = jax.random.normal(ks[1], (V, 24, 3)) * 0.5
+
+    sc = SpatialEncodingConfig()
+    sp = spatial_encode(sc, None, pts_cam, None, kpt_cam)
+    out_f, valid_f, lv_f, lf_f = model.apply(params, sp, [f0, f1], mask, weight)
+
+    out_p, valid_p, lv_p, lf_p = sp_geo_mlp_apply(
+        params["params"], pts_cam, kpt_cam, f0, f1, mask, weight,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(lf_f), np.asarray(lf_p), atol=3e-5)
+
+
+def test_sp_fused_kernel_gradients(setup):
+    from keypointnerf_tpu.ops.pallas import sp_geo_mlp_apply
+
+    model, params, args = setup
+    _, f0, f1, mask, weight = args
+    ks = jax.random.split(jax.random.key(10), 2)
+    pts_cam = jax.random.normal(ks[0], (V, N, 3))
+    kpt_cam = jax.random.normal(ks[1], (V, 24, 3)) * 0.5
+
+    def loss(p, pts):
+        out, *_ = sp_geo_mlp_apply(
+            p["params"], pts, kpt_cam, f0, f1, mask, weight, interpret=True
+        )
+        return jnp.mean(out**2)
+
+    g_params = jax.grad(loss)(params, pts_cam)
+    g_pts = jax.grad(loss, argnums=1)(params, pts_cam)
+    assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(g_params))
+    assert np.all(np.isfinite(g_pts))
+    assert float(jnp.max(jnp.abs(g_pts))) > 0.0
