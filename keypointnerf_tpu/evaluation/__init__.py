@@ -5,3 +5,6 @@ __all__ = ["bounding_rect", "psnr", "structural_similarity", "Evaluator", "eval_
 from .run_eval import run_eval
 
 __all__.append("run_eval")
+from .meshing import extract_mesh, marching_tetrahedra, save_obj
+
+__all__ += ["extract_mesh", "marching_tetrahedra", "save_obj"]

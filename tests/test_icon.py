@@ -124,3 +124,41 @@ def test_overfit_sphere_and_reconstruct(sample):
     cd = chamfer_distance(pred_pts, gt)
     # within ~2 voxels of the analytic sphere
     assert cd < 0.1, cd
+
+
+def test_marching_tetrahedra_sphere():
+    """Mesh of an analytic sphere: vertices on the radius, enough faces,
+    OBJ export round-trips."""
+    from keypointnerf_tpu.evaluation.meshing import extract_mesh, marching_tetrahedra
+
+    res = 40
+    axes = [np.linspace(-0.8, 0.8, res, dtype=np.float32)] * 3
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    # smooth occupancy so the linear edge interpolation lands on the radius
+    d = np.sqrt(gx**2 + gy**2 + gz**2)
+    occ = np.clip(0.5 + (RADIUS - d) * 10.0, 0.0, 1.0)
+
+    verts, faces = marching_tetrahedra(occ, axes, iso=0.5)
+    assert len(verts) > 500
+    assert faces.shape[1] == 3
+    r = np.linalg.norm(verts, axis=-1)
+    assert np.abs(r - RADIUS).max() < 0.03
+    # total surface area within 15% of the analytic sphere
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1).sum()
+    assert abs(area - 4 * np.pi * RADIUS**2) / (4 * np.pi * RADIUS**2) < 0.15
+
+
+def test_mesh_obj_export(tmp_path):
+    from keypointnerf_tpu.evaluation.meshing import extract_mesh
+
+    res = 24
+    axes = [np.linspace(-0.8, 0.8, res, dtype=np.float32)] * 3
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    occ = (np.sqrt(gx**2 + gy**2 + gz**2) < RADIUS).astype(np.float32)
+    path = str(tmp_path / "sphere.obj")
+    verts, faces = extract_mesh(occ, axes, path=path)
+    lines = open(path).read().splitlines()
+    n_v = sum(1 for l in lines if l.startswith("v "))
+    n_f = sum(1 for l in lines if l.startswith("f "))
+    assert n_v == len(verts) and n_f == len(faces)

@@ -54,3 +54,34 @@ def test_vgg_loss_differentiable():
     g = jax.grad(f)(jnp.ones((16, 16, 3)) * 0.5)
     assert np.all(np.isfinite(g))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_load_torch_vgg19_roundtrip(tmp_path):
+    """Converter consumes a torchvision-layout state dict (OIHW -> HWIO)."""
+    import torch
+
+    from keypointnerf_tpu.models.vgg import _TORCH_CONV_IDX, load_torch_vgg19
+
+    widths = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+              (256, 256), (256, 256), (256, 256), (256, 512)]
+    sd = {}
+    rng = np.random.default_rng(0)
+    for (cin, cout), tidx in zip(widths, _TORCH_CONV_IDX):
+        sd[f"features.{tidx}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, 3, 3)).astype(np.float32))
+        sd[f"features.{tidx}.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32))
+    path = str(tmp_path / "vgg19.pth")
+    torch.save(sd, path)
+
+    params = load_torch_vgg19(path)
+    k = params["params"]["conv_0_0"]["kernel"]
+    assert k.shape == (3, 3, 3, 64)  # HWIO
+    np.testing.assert_allclose(
+        np.asarray(k),
+        sd["features.0.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    # converted params drive the feature net
+    feats = VGG19Features().apply(params, jnp.zeros((1, 32, 32, 3)))
+    assert feats[3].shape == (1, 4, 4, 512)
+    assert all(np.all(np.isfinite(f)) for f in feats)
