@@ -27,10 +27,21 @@ def run_eval(
     result_dir: Optional[str] = None,
     max_samples: Optional[int] = None,
     stride: int = 1,
+    sharded: bool = False,
 ) -> Dict[str, float]:
+    """`sharded=True` partitions each image's rays across all local devices
+    (parallel.make_sharded_render) — the multi-chip replacement for the
+    reference's serial full-image loop. stride must be 1 in that mode."""
     out_dir = os.path.join(cfg.out_dir, cfg.name)
     result_dir = result_dir or os.path.join(out_dir, "images_v3")
     evaluator = Evaluator(result_dir=result_dir)
+
+    sharded_render = None
+    if sharded and len(jax.devices()) > 1:
+        from ..parallel import make_mesh, make_sharded_render
+
+        assert stride == 1, "sharded eval renders at full resolution"
+        sharded_render = make_sharded_render(model, make_mesh())
 
     scores = []
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
@@ -41,7 +52,12 @@ def run_eval(
         meta = sample.pop("meta", {})
         vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
         H, W = np.asarray(vb.tar_image).shape[:2]
-        out = render_image(model, state.params, vb, height=H, width=W, stride=stride)
+        if sharded_render is not None:
+            out = sharded_render(state.params, vb, height=H, width=W)
+        else:
+            out = render_image(
+                model, state.params, vb, height=H, width=W, stride=stride
+            )
         pred = np.clip(np.asarray(out["rgb_fine"]), 0.0, 1.0)
         gt = np.asarray(vb.tar_image)[::stride, ::stride]
         mab = np.asarray(meta.get("mask_at_box", np.ones((H, W))))[::stride, ::stride]

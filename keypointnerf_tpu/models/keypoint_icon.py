@@ -201,3 +201,32 @@ def bce_occupancy_loss(logits, labels):
     return jnp.mean(
         jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
+
+
+def make_icon_train_step(model: KeypointICON, learning_rate: float = 1e-3):
+    """Jitted BCE occupancy train step for single-image reconstruction.
+
+    Returns (init_fn, step_fn):
+      params, opt_state = init_fn(rng, image, K, R, t, kpt3d)
+      params, opt_state, loss = step_fn(params, opt_state, image, pts,
+                                        labels, K, R, t, kpt3d)
+    """
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def init_fn(rng, image, K, R, t, kpt3d):
+        params = model.init(rng, image, jnp.zeros((8, 3)), K, R, t, kpt3d)
+        return params, tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, image, pts, labels, K, R, t, kpt3d):
+        def loss_fn(p):
+            logits = model.apply(p, image, pts, K, R, t, kpt3d)
+            return bce_occupancy_loss(logits[..., 0], labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    return init_fn, step_fn

@@ -132,3 +132,11 @@ def save_config(cfg: ExperimentConfig, out_dir: str) -> str:
     with open(path, "w") as f:
         json.dump(d, f, indent=2, default=str)
     return path
+
+
+def get_model(cfg: ExperimentConfig):
+    """Model factory (reference src/config.py:100-104 `get_model`):
+    instantiate the flagship model from an experiment config."""
+    from ..models import KeypointNeRF
+
+    return KeypointNeRF(cfg.model)

@@ -62,3 +62,27 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out["rgb_fine"]), np.asarray(ref["rgb_fine"]), atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_run_eval_sharded(tmp_path):
+    """run_eval with rays sharded across the 8-device mesh."""
+    from keypointnerf_tpu.data import SyntheticConfig, SyntheticDataset
+    from keypointnerf_tpu.evaluation.run_eval import run_eval
+    from keypointnerf_tpu.training import OptimConfig, create_train_state
+    from keypointnerf_tpu.utils import load_config
+
+    cfg = load_config(None, overrides={
+        "out_dir": str(tmp_path), "name": "shard_eval",
+        "model.n_coarse": 4, "model.n_fine": 4, "model.patch_h": 4,
+        "model.patch_w": 4, "model.geo_n_downsample": 2,
+        "data.image_size": 32,
+    })
+    from keypointnerf_tpu.models import KeypointNeRF
+
+    model = KeypointNeRF(cfg.model)
+    data = SyntheticDataset(SyntheticConfig(image_size=32, focal=40.0), length=2)
+    vb0 = tiny_batch(0, size=32)
+    state = create_train_state(model, vb0, OptimConfig())
+    scores = run_eval(cfg, model, state, data, max_samples=1, sharded=True)
+    assert "psnr" in scores and np.isfinite(scores["psnr"])

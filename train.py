@@ -26,6 +26,10 @@ def create_parser():
     p.add_argument("--fast_dev_run", action="store_true", help="2-step smoke run")
     p.add_argument("--model_ckpt", type=str, default=None, help="checkpoint dir to restore")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument(
+        "--sharded_eval", action="store_true",
+        help="partition eval-render rays across all local devices",
+    )
     p.add_argument("--coordinator", type=str, default=None, help="multi-host coordinator addr")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
@@ -124,7 +128,7 @@ def main():
     if args.run_val:
         from keypointnerf_tpu.evaluation.run_eval import run_eval
 
-        run_eval(cfg, model, trainer.state, val_data)
+        run_eval(cfg, model, trainer.state, val_data, sharded=args.sharded_eval)
         return
 
     max_steps = 2 if args.fast_dev_run else args.max_steps
