@@ -15,7 +15,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 

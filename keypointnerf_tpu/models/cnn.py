@@ -20,8 +20,6 @@ Design notes (TPU-first, not a translation):
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

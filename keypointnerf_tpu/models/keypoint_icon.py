@@ -20,7 +20,7 @@ fixed-shape lax.map over chunks, the same pattern as the NeRF renderer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -31,7 +31,7 @@ Design notes (TPU-native, not a translation):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct

@@ -9,7 +9,6 @@ hand-written collective.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ devices (rays are embarrassingly parallel; see parallel/).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

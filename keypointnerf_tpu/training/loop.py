@@ -12,8 +12,7 @@ reference train.py:44-50.
 from __future__ import annotations
 
 import os
-import time
-from typing import Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,7 @@ import numpy as np
 from ..models.keypoint_nerf import KeypointNeRF, ViewBatch
 from ..parallel import make_mesh, make_sharded_train_step, stack_batch
 from ..render import render_image
-from ..training import LossConfig, OptimConfig, create_train_state, jit_eval_step
+from ..training import create_train_state, jit_eval_step
 from ..utils import CheckpointManager, ExperimentConfig, MetricsWriter, save_config
 
 

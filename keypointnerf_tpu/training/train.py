@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from ..models.keypoint_nerf import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+from ..models.keypoint_nerf import KeypointNeRF, ViewBatch
 from .losses import LossConfig, compute_losses
 
 

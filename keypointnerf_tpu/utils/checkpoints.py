@@ -8,7 +8,7 @@ if one exists. Orbax gives the same policy with async saves.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import orbax.checkpoint as ocp
 
