@@ -29,7 +29,11 @@ class DataConfig:
     n_source_views: int = 3
     max_len_val: int = 2              # reference zju.json:7-9
     sample_frame: int = 30            # test subsampling (zju_dataset.py:434)
-    num_workers: int = 4
+    # native prefetcher threads; 0 = load inline. Opt-in: combined with the
+    # 8-virtual-device CPU mesh, sustained prefetcher load once triggered a
+    # stuck XLA InProcessCommunicator all-reduce (see memory notes); real
+    # TPU meshes don't use that communicator.
+    num_workers: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
