@@ -86,3 +86,18 @@ def test_run_eval_sharded(tmp_path):
     state = create_train_state(model, vb0, OptimConfig())
     scores = run_eval(cfg, model, state, data, max_samples=1, sharded=True)
     assert "psnr" in scores and np.isfinite(scores["psnr"])
+
+
+@pytest.mark.slow
+def test_sharded_train_step_2device_mesh():
+    """Sharding must work for mesh sizes other than the full 8 devices."""
+    mesh = make_mesh(n_data=2)
+    assert mesh.devices.size == 2
+    model = KeypointNeRF(TINY)
+    vb0 = tiny_batch(0)
+    state = create_train_state(model, vb0, OptimConfig())
+    step = make_sharded_train_step(model, LossConfig(lambda_vgg=0.0), mesh)
+    batch = stack_batch([tiny_batch(i) for i in range(2)])
+    state2, err = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(err["e_all"]))
+    assert int(state2.step) == 1
