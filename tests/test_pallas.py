@@ -160,3 +160,16 @@ def test_sp_fused_kernel_gradients(setup):
     assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(g_params))
     assert np.all(np.isfinite(g_pts))
     assert float(jnp.max(jnp.abs(g_pts))) > 0.0
+
+
+def test_dma_gather_matches_reference():
+    """DMA-pipelined patch gather vs the XLA bilinear sampler (interpret)."""
+    from keypointnerf_tpu.ops.feat_sample import bilinear_sample
+    from keypointnerf_tpu.ops.pallas.dma_gather import dma_bilinear_sample
+
+    ks = jax.random.split(jax.random.key(11), 2)
+    feat = jax.random.normal(ks[0], (64, 64, 16))
+    xy = jax.random.uniform(ks[1], (700, 2), minval=-1.2, maxval=1.2)  # incl. outside
+    ref = bilinear_sample(feat, xy)
+    out = dma_bilinear_sample(feat, xy, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

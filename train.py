@@ -30,6 +30,10 @@ def create_parser():
         "--sharded_eval", action="store_true",
         help="partition eval-render rays across all local devices",
     )
+    p.add_argument(
+        "--devices", type=int, default=None,
+        help="restrict the data-parallel mesh to the first N local devices",
+    )
     p.add_argument("--coordinator", type=str, default=None, help="multi-host coordinator addr")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
@@ -123,7 +127,14 @@ def main():
 
     model = KeypointNeRF(cfg.model)
     train_data, val_data = build_datasets(cfg)
-    trainer = Trainer(cfg, model, train_data, val_data, vgg_params=vgg_params)
+    mesh = None
+    if args.devices is not None:
+        from keypointnerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.devices)
+    trainer = Trainer(
+        cfg, model, train_data, val_data, vgg_params=vgg_params, mesh=mesh
+    )
 
     if args.run_val:
         from keypointnerf_tpu.evaluation.run_eval import run_eval
