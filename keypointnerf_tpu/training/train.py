@@ -28,6 +28,12 @@ class OptimConfig:
     grad_clip: Optional[float] = None
     accumulate_steps: int = 1          # reference train.py:69 accumulate_grad_batches
     weight_decay: float = 0.0
+    # learning-rate schedule (the reference trains at constant lr;
+    # schedules are standard production practice)
+    lr_schedule: str = "constant"      # "constant" | "cosine" | "exponential"
+    warmup_steps: int = 0
+    decay_steps: int = 100_000         # horizon for cosine / exponential
+    lr_final_scale: float = 0.01       # end lr = learning_rate * this
 
 
 class TrainState(train_state.TrainState):
@@ -36,17 +42,40 @@ class TrainState(train_state.TrainState):
     vgg_params: Any = None
 
 
+def make_lr(cfg: OptimConfig):
+    """Build the lr schedule (a plain float for constant-no-warmup)."""
+    if cfg.lr_schedule == "constant" and cfg.warmup_steps == 0:
+        return cfg.learning_rate
+    if cfg.lr_schedule == "constant":
+        main = optax.constant_schedule(cfg.learning_rate)
+    elif cfg.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.decay_steps, alpha=cfg.lr_final_scale
+        )
+    elif cfg.lr_schedule == "exponential":
+        main = optax.exponential_decay(
+            cfg.learning_rate, cfg.decay_steps, cfg.lr_final_scale
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        return optax.join_schedules([warm, main], [cfg.warmup_steps])
+    return main
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    lr = make_lr(cfg)
     chain = []
     if cfg.grad_clip:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     if cfg.weight_decay > 0.0:
         chain.append(
-            optax.adamw(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+            optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
                         weight_decay=cfg.weight_decay)
         )
     else:
-        chain.append(optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2))
+        chain.append(optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2))
     tx = optax.chain(*chain)
     if cfg.accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_steps)

@@ -80,3 +80,22 @@ def test_grad_accumulation_state():
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
     state, _ = step(state, vb, jax.random.key(0))
     assert not np.array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+
+
+def test_lr_schedules():
+    from keypointnerf_tpu.training.train import make_lr
+
+    # constant no-warmup stays a plain float
+    assert make_lr(OptimConfig()) == 5e-4
+    sched = make_lr(OptimConfig(lr_schedule="cosine", decay_steps=100,
+                                warmup_steps=10, learning_rate=1e-3))
+    assert float(sched(0)) == 0.0
+    assert np.isclose(float(sched(10)), 1e-3, rtol=1e-5)
+    assert float(sched(110)) < 1e-4  # decayed near the floor
+    exp = make_lr(OptimConfig(lr_schedule="exponential", decay_steps=100,
+                              learning_rate=1e-3, lr_final_scale=0.1))
+    assert np.isclose(float(exp(100)), 1e-4, rtol=1e-4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_lr(OptimConfig(lr_schedule="nope", warmup_steps=1))
