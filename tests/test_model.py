@@ -193,3 +193,20 @@ def test_reuse_coarse_eval_exact(model_and_params):
     np.testing.assert_allclose(
         np.asarray(a["acc_fine"]), np.asarray(b["acc_fine"]), atol=3e-5
     )
+
+
+@pytest.mark.slow
+def test_fast_path_combination_close_to_default(model_and_params):
+    """The bench configuration (fused map + culling + reuse, bf16 off here
+    for comparability) must stay close to the strict-reference path."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    fast = KeypointNeRF(dataclasses.replace(
+        TINY, fused_feature_map=True, fine_topk_ratio=0.5, reuse_coarse_eval=True
+    ))
+    a = render_image(model, params, vb, height=64, width=64, stride=4, chunk=128)
+    b = render_image(fast, params, vb, height=64, width=64, stride=4, chunk=128)
+    d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
+    assert np.all(np.isfinite(b["rgb_fine"]))
+    assert float(d.mean()) < 0.05, float(d.mean())
