@@ -49,10 +49,11 @@ def main():
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
     from keypointnerf_tpu.render.renderer import render_rays_chunked
 
-    # fast inference path: bf16 compute, single fused feature map, fine-pass
-    # culling of the ~60% of rays whose coarse opacity is ~0
+    # fast inference path: bf16 compute, single fused feature map, and
+    # coarse/fine ray culling of the rays that miss the subject
     cfg = KeypointNeRFConfig(
-        compute_dtype=jnp.bfloat16, fused_feature_map=True, fine_topk_ratio=0.5
+        compute_dtype=jnp.bfloat16, fused_feature_map=True,
+        fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
     )
     model = KeypointNeRF(cfg)
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)

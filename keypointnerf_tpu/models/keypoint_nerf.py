@@ -135,6 +135,11 @@ class KeypointNeRFConfig:
     # semantics). Typical human renders hit the subject with <40% of rays,
     # so 0.5 is conservative and cuts fine-pass points ~2x.
     fine_topk_ratio: float = 1.0
+    # coarse-pass ray culling (inference): only the top-K rays by AABB hit
+    # get the coarse march; misses composite as empty space. Rays outside
+    # the subject's box almost never pass the all-views foreground test, so
+    # this is near-exact for typical framing. 1.0 = march all rays.
+    coarse_topk_ratio: float = 1.0
     # eval-time reuse of coarse point values in the union pass (exact —
     # the eval query is deterministic); disable to force the reference's
     # full re-evaluation of all union depths
@@ -500,16 +505,43 @@ class KeypointNeRF(nn.Module):
             k_strat = k_coarse = k_imp = k_fine = None
 
         z = stratified_z(k_strat, near, far, c.n_coarse, jitter=train)  # (R, S)
-        pts = origin + dirs[:, None, :] * z[..., None]                  # (R, S, 3)
-        view = jnp.broadcast_to(dirs[:, None, :], pts.shape)
 
-        alpha, sdf, rgb = self._eval_density(
+        ccull = (not train) and c.coarse_topk_ratio < 1.0
+        if ccull:
+            # coarse-pass culling: march only the top-K rays by AABB hit —
+            # rays that miss the subject's box almost never pass the
+            # all-views foreground test, so they composite to black anyway.
+            Kc = max(1, int(Rn * c.coarse_topk_ratio))
+            csel = jax.lax.top_k(hit[..., 0].astype(jnp.float32), Kc)[1]
+            dirs_c = jnp.take(dirs, csel, axis=0)
+            z_c = jnp.take(z, csel, axis=0)
+            Rc = Kc
+        else:
+            csel = None
+            dirs_c, z_c, Rc = dirs, z, Rn
+
+        pts = origin + dirs_c[:, None, :] * z_c[..., None]              # (Rc, S, 3)
+        view = jnp.broadcast_to(dirs_c[:, None, :], pts.shape)
+
+        alpha_m, sdf_m, rgb_m = self._eval_density(
             pts.reshape(-1, 3), view.reshape(-1, 3), feats, vb, c.n_coarse,
             k_coarse, train,
         )
-        alpha = alpha.reshape(Rn, c.n_coarse)
-        sdf = sdf.reshape(Rn, c.n_coarse)
-        rgb = rgb.reshape(Rn, c.n_coarse, 3)
+        if ccull:
+            # scatter marched values back; unmarched rays are empty space
+            alpha = jnp.zeros((Rn, c.n_coarse)).at[csel].set(
+                alpha_m.reshape(Rc, c.n_coarse)
+            )
+            sdf = jnp.full((Rn, c.n_coarse), c.bkg_sdf).at[csel].set(
+                sdf_m.reshape(Rc, c.n_coarse)
+            )
+            rgb = jnp.zeros((Rn, c.n_coarse, 3)).at[csel].set(
+                rgb_m.reshape(Rc, c.n_coarse, 3)
+            )
+        else:
+            alpha = alpha_m.reshape(Rn, c.n_coarse)
+            sdf = sdf_m.reshape(Rn, c.n_coarse)
+            rgb = rgb_m.reshape(Rn, c.n_coarse, 3)
         coarse = composite(alpha, sdf, rgb, z)
 
         out = {

@@ -210,3 +210,18 @@ def test_fast_path_combination_close_to_default(model_and_params):
     d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
     assert np.all(np.isfinite(b["rgb_fine"]))
     assert float(d.mean()) < 0.05, float(d.mean())
+
+
+@pytest.mark.slow
+def test_coarse_cull_close_to_full(model_and_params):
+    """Coarse AABB-hit culling: box rays match the full render; miss rays
+    composite to empty space."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    culled = KeypointNeRF(dataclasses.replace(TINY, coarse_topk_ratio=0.5))
+    a = render_image(model, params, vb, height=64, width=64, stride=4, chunk=128)
+    b = render_image(culled, params, vb, height=64, width=64, stride=4, chunk=128)
+    assert np.all(np.isfinite(b["rgb_fine"]))
+    d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
+    assert float(d.mean()) < 0.03, float(d.mean())
