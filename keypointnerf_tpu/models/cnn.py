@@ -13,10 +13,12 @@ Design notes (TPU-first, not a translation):
   * GroupNorm instead of (Sync)BatchNorm: the zju config already uses
     GroupNorm (utils.py:327), and GroupNorm needs no cross-device stat sync.
   * InstanceNorm is GroupNorm with one group per channel.
-  * The hourglass's bicubic align_corners upsample is jax.image.resize
-    'bicubic' (half-pixel); since training is from scratch this boundary
-    convention difference does not affect parity of capability.
+  * The hourglass's bicubic align_corners upsample is expressed as two
+    small dense interpolation matmuls (MXU-friendly), numerically exact vs
+    torch `interpolate(..., align_corners=True)` (utils.py:304).
   * Replication padding = jnp.pad(mode='edge').
+  * All convolutions use explicit torch-style padding so reference torch
+    checkpoints import with exact numerics (utils/import_torch.py).
 """
 from __future__ import annotations
 
@@ -26,7 +28,17 @@ import flax.linen as nn
 from jax.nn.initializers import he_normal, zeros
 
 
-def _conv(out_ch, kernel, stride=1, use_bias=True, padding="SAME", dtype=None):
+def _conv(out_ch, kernel, stride=1, use_bias=True, padding=None, dtype=None):
+    """Conv with torch-style symmetric padding p = (k-1)//2.
+
+    Identical to "SAME" at stride 1; at stride 2 XLA's SAME pads (p-1, p)
+    while torch pads (p, p) — a one-pixel feature-map shift that would break
+    numeric parity with imported reference checkpoints, so the padding is
+    always explicit.
+    """
+    if padding is None:
+        p = (kernel - 1) // 2
+        padding = ((p, p), (p, p))
     return nn.Conv(
         out_ch,
         (kernel, kernel),
@@ -40,12 +52,16 @@ def _conv(out_ch, kernel, stride=1, use_bias=True, padding="SAME", dtype=None):
 
 
 def _deconv2x(out_ch, kernel=3, use_bias=True, dtype=None):
-    """2x upsampling transposed conv (torch k3 s2 p1 op1 equivalent size)."""
+    """2x upsampling transposed conv, exactly torch
+    ConvTranspose2d(k=3, s=2, p=1, output_padding=1): lo/hi padding
+    (k-1-p, k-1-p+op) = (1, 2) on the dilated input, flipped kernel
+    (transpose_kernel=True; param layout (kh, kw, out, in))."""
     return nn.ConvTranspose(
         out_ch,
         (kernel, kernel),
         strides=(2, 2),
-        padding="SAME",
+        padding=((1, 2), (1, 2)),
+        transpose_kernel=True,
         use_bias=use_bias,
         kernel_init=he_normal(),
         bias_init=zeros,
@@ -62,14 +78,57 @@ def replication_pad(x, pad):
 
 
 def group_norm(ch, dtype=None):
-    return nn.GroupNorm(num_groups=min(32, ch), dtype=dtype)
+    # epsilon 1e-5 = torch GroupNorm default (parity for imported ckpts)
+    return nn.GroupNorm(num_groups=min(32, ch), epsilon=1e-5, dtype=dtype)
 
 
 def instance_norm(dtype=None):
     """InstanceNorm2d affine=False: per-sample per-channel normalization."""
     return nn.GroupNorm(
-        num_groups=None, group_size=1, use_bias=False, use_scale=False, dtype=dtype
+        num_groups=None, group_size=1, use_bias=False, use_scale=False,
+        epsilon=1e-5, dtype=dtype,
     )
+
+
+def upsample2x_bicubic_align_corners(x):
+    """2x bicubic upsample with align_corners=True — exactly torch
+    `F.interpolate(scale_factor=2, mode='bicubic', align_corners=True)`
+    (the reference hourglass upsample, src/utils.py:304).
+
+    jax.image.resize has no align_corners mode, so the (static-shape)
+    interpolation is expressed as two small dense matmuls out = A x Aᵀ —
+    MXU-friendly and exact. x: (..., H, W, C).
+    """
+    import numpy as np
+
+    def upmat(n: int) -> jnp.ndarray:
+        m = 2 * n
+        A = np.zeros((m, n), np.float32)
+        a = -0.75  # torch cubic convolution constant
+
+        def cubic(t):
+            t = abs(t)
+            if t <= 1.0:
+                return (a + 2) * t**3 - (a + 3) * t**2 + 1
+            if t < 2.0:
+                return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+            return 0.0
+
+        for i in range(m):
+            src = i * (n - 1) / (m - 1) if m > 1 else 0.0
+            i0 = int(np.floor(src))
+            t = src - i0
+            for k in range(-1, 3):
+                j = min(max(i0 + k, 0), n - 1)  # border clamp
+                A[i, j] += cubic(k - t)
+        return jnp.asarray(A)
+
+    H, W = x.shape[-3], x.shape[-2]
+    Ah, Aw = upmat(H), upmat(W)
+    dt = x.dtype
+    y = jnp.einsum("ih,...hwc->...iwc", Ah, x.astype(jnp.float32))
+    y = jnp.einsum("jw,...iwc->...ijc", Aw, y)
+    return y.astype(dt)
 
 
 class ConvBlock(nn.Module):
@@ -110,9 +169,7 @@ class HourGlass(nn.Module):
         else:
             low = ConvBlock(self.features, self.dtype)(low)
         low = ConvBlock(self.features, self.dtype)(low)
-        up2 = jax.image.resize(
-            low, (low.shape[0], low.shape[1] * 2, low.shape[2] * 2, low.shape[3]), "bicubic"
-        )
+        up2 = upsample2x_bicubic_align_corners(low)
         return up1 + up2
 
 

@@ -87,6 +87,10 @@ class KeypointNeRFConfig:
     mlp_skip_layers: Tuple[int, ...] = (0, 2)
     mlp_nl: str = "softplus"
     pool_types: Tuple[str, ...] = ("mean", "var")
+    # cross-view pooling mode: "" = masked mean/var (zju default);
+    # "attention_v0" / "attention_v1" = the reference PoolModule attention
+    # variants (src/utils.py:589-647)
+    pool_mode: str = ""
     # IBR color head (zju.json:90-99)
     ibr_in_feat_ch: int = 32
     gcompress_out: int = 24
@@ -208,6 +212,11 @@ class KeypointNeRF(nn.Module):
         dims2 = tuple(c.mlp_dims2)
         if c.separate_cf:
             dims2 = dims2[:-1] + (dims2[-1] + 1,)  # [sdf, rad_c, rad_f]
+        if c.use_pallas_geo_mlp and c.pool_mode:
+            raise ValueError(
+                "use_pallas_geo_mlp supports only the default mean/var pooling"
+                f" (pool_mode={c.pool_mode!r})"
+            )
         self.mlp_geo = GeoFusionMLP(
             dims1=dims1,
             dims2=dims2,
@@ -215,6 +224,7 @@ class KeypointNeRF(nn.Module):
             skip_layers=tuple(c.mlp_skip_layers),
             nl_layer=c.mlp_nl,
             pool_types=tuple(c.pool_types),
+            pool_mode=c.pool_mode,
             dtype=dt,
         )
         self.ibr_head = IBRRenderingHead(in_feat_ch=c.ibr_in_feat_ch, dtype=dt)
@@ -650,7 +660,8 @@ class KeypointNeRF(nn.Module):
         cy, cx = idx // W, idx % W
         grid = pixel_grid(c.patch_h, c.patch_w)  # (P*P, 2) (x, y)
         grid = grid + jnp.stack([cx - c.patch_w // 2, cy - c.patch_h // 2])
-        return jnp.clip(grid, 0, min(W - 1, H - 1))
+        # per-axis clamp: x in [0, W-1], y in [0, H-1]
+        return jnp.clip(grid, 0, jnp.array([W - 1, H - 1]))
 
     def __call__(self, vb: ViewBatch, train: bool = True):
         """One full forward: encode views, render a training patch, gather GT.

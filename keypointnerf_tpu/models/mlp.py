@@ -191,6 +191,10 @@ class GeoFusionMLP(nn.Module):
     nl_layer: str = "softplus"
     weight_norm: bool = True
     pool_types: Sequence[str] = ("mean", "var")
+    # "" = plain masked mean/var pooling (the zju default); "attention_v0" /
+    # "attention_v1" select the reference PoolModule's attention modes
+    # (src/utils.py:589-647)
+    pool_mode: str = ""
     dtype: object = None
 
     @nn.compact
@@ -211,7 +215,14 @@ class GeoFusionMLP(nn.Module):
             self.dims1, self.skip_dims, self.skip_layers, self.nl_layer,
             self.weight_norm, self.dtype,
         )(sp_feat, im_feats)
-        latent_fused, valid = masked_pool(latent_view, mask, weight, tuple(self.pool_types))
+        if self.pool_mode in ("attention_v0", "attention_v1"):
+            latent_fused, valid = AttentionPool(
+                pool_types=tuple(self.pool_types), pool_mode=self.pool_mode
+            )(latent_view, mask, weight)
+        else:
+            latent_fused, valid = masked_pool(
+                latent_view, mask, weight, tuple(self.pool_types)
+            )
         out = MLP(self.dims2, (), self.nl_layer, self.weight_norm,
                   dtype=self.dtype)(latent_fused)
         return out, valid, latent_view, latent_fused

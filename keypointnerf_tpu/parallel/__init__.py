@@ -1,11 +1,17 @@
 from .mesh import data_sharding, initialize_distributed, make_mesh, replicated
-from .train_parallel import make_sharded_render, make_sharded_train_step, stack_batch
+from .train_parallel import (
+    make_batch_step_fn,
+    make_sharded_render,
+    make_sharded_train_step,
+    stack_batch,
+)
 
 __all__ = [
     "data_sharding",
     "initialize_distributed",
     "make_mesh",
     "replicated",
+    "make_batch_step_fn",
     "make_sharded_render",
     "make_sharded_train_step",
     "stack_batch",

@@ -25,14 +25,14 @@ def stack_batch(samples) -> ViewBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
 
 
-def make_sharded_train_step(model: KeypointNeRF, loss_cfg: LossConfig, mesh):
-    """Build a jitted DP train step: (state, batch_vb, rng) -> (state, metrics).
+def make_batch_step_fn(model: KeypointNeRF, loss_cfg: LossConfig):
+    """The un-jitted batched train step: vmap the per-sample forward over
+    the leading batch axis, mean the losses, one optimizer update.
 
-    `batch_vb` is a ViewBatch with a leading batch axis divisible by the
-    mesh's data-axis size.
+    This exact function is jitted both with DP mesh shardings
+    (`make_sharded_train_step`) and plain single-device (tests) — the math
+    is identical by construction; sharding only changes where it runs.
     """
-    batch_shard = data_sharding(mesh)
-    repl = replicated(mesh)
 
     def step(state: TrainState, batch: ViewBatch, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -54,8 +54,20 @@ def make_sharded_train_step(model: KeypointNeRF, loss_cfg: LossConfig, mesh):
         err["grad_norm"] = optax.global_norm(grads)
         return new_state, err
 
+    return step
+
+
+def make_sharded_train_step(model: KeypointNeRF, loss_cfg: LossConfig, mesh):
+    """Build a jitted DP train step: (state, batch_vb, rng) -> (state, metrics).
+
+    `batch_vb` is a ViewBatch with a leading batch axis divisible by the
+    mesh's data-axis size.
+    """
+    batch_shard = data_sharding(mesh)
+    repl = replicated(mesh)
+
     return jax.jit(
-        step,
+        make_batch_step_fn(model, loss_cfg),
         in_shardings=(repl, batch_shard, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
@@ -92,13 +104,13 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
 
     @functools.partial(
         jax.jit,
-        static_argnums=(2, 3),
+        static_argnums=(2, 3, 4),
         in_shardings=(repl, repl),
     )
-    def _render(params, vb: ViewBatch, height: int, width: int):
+    def _render(params, vb: ViewBatch, height: int, width: int, stride: int):
         cfg = model.cfg
         feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
-        pix = pixel_grid(height, width)
+        pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
         origin, dirs, near, far = camera_rays(
             pix.astype(jnp.float32), vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar
         )
@@ -108,11 +120,12 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
             [x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)]
         )
         out = sharded_march(params, feats, vb, origin, pad(dirs), pad(near), pad(far))
+        h, w = height // stride, width // stride
         return {
-            k: v[:n].reshape((height, width) + v.shape[1:]) for k, v in out.items()
+            k: v[:n].reshape((h, w) + v.shape[1:]) for k, v in out.items()
         }
 
-    def render(params, vb: ViewBatch, *, height: int, width: int):
-        return _render(params, vb, height, width)
+    def render(params, vb: ViewBatch, *, height: int, width: int, stride: int = 1):
+        return _render(params, vb, height, width, stride)
 
     return render

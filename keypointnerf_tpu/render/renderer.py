@@ -63,16 +63,25 @@ def render_image(
     stride: int = 1,
     chunk: int = 4096,
     fine: bool = True,
+    feats=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render the target camera of `vb` at (height/stride, width/stride).
 
     stride > 1 renders every stride-th pixel — the fast-val analog of the
     reference's `nerf_level` sub-resolution rendering (src/model.py:484).
 
+    `feats` (the dict from `KeypointNeRF.encode`) can be passed to reuse
+    encoder output across many target cameras of the same subject — the
+    reference's attach_im_feat caching (src/model.py:642-688); when None
+    the source views are encoded in-jit.
+
     Returns dict of (H', W', C) images: rgb_coarse, rgb_fine, depth_*, acc_*.
     """
     cfg = model.cfg
-    feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
+    if feats is None:
+        feats = model.apply(
+            params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode
+        )
     pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
     origin, dirs, near, far = camera_rays(
         pix.astype(jnp.float32), vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar

@@ -121,8 +121,10 @@ def render_orbit(
     import dataclasses
 
     import imageio.v2 as imageio
+    import jax
     import jax.numpy as jnp
 
+    from ..models.keypoint_nerf import KeypointNeRF
     from ..render import render_image
 
     sched = zju_orbit_schedule(im_size, im_size)
@@ -139,13 +141,19 @@ def render_orbit(
     indices = (
         frame_indices if frame_indices is not None else arc_indices(n_frames, arc)
     )
+    # encode the source views ONCE for the whole orbit (the reference's
+    # attach_im_feat caching across ~90 frames, src/model.py:642-688)
+    feats = jax.jit(
+        lambda p, im, mk: model.apply(p, im, mk, method=KeypointNeRF.encode)
+    )(params, vb.src_images, vb.src_masks)
     for idx in indices:
         K, R, t = cams[idx % n_frames]
         cam_vb = vb.replace(
             tar_K=jnp.asarray(K), tar_R=jnp.asarray(R), tar_t=jnp.asarray(t)
         )
         out = render_image(
-            model, params, cam_vb, height=im_size, width=im_size, stride=stride
+            model, params, cam_vb, height=im_size, width=im_size, stride=stride,
+            feats=feats,
         )
         img = np.clip(np.asarray(out["rgb_fine"]), 0.0, 1.0)
         path = os.path.join(out_dir, f"{idx:06d}.png")

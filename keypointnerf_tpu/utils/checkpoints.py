@@ -14,12 +14,28 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: Optional[int] = None,
+        monitor: str = "val_total_loss",
+        monitor_mode: str = "min",
+    ):
+        """`monitor` tracks the best checkpoint by a metric passed to
+        `save(..., metrics=...)` — the reference's ModelCheckpoint monitors
+        min `val_total_loss` (reference train.py:34-43). With
+        max_to_keep=None everything is kept (reference save_top_k=-1) and
+        `best_step()` still resolves the monitored optimum."""
         self._dir = os.path.abspath(directory)
+        self._monitor = monitor
         os.makedirs(self._dir, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,          # None = keep all (reference save_top_k=-1)
-            best_fn=None,
+            best_fn=(lambda metrics: metrics.get(monitor, float("inf")))
+            if monitor
+            else None,
+            best_mode=monitor_mode,
+            keep_checkpoints_without_metrics=True,
             create=True,
             enable_async_checkpointing=True,
         )
@@ -32,11 +48,14 @@ class CheckpointManager:
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
 
-    def restore(self, state_template: Any, step: Optional[int] = None):
+    def restore(self, state_template: Any, step: Optional[int] = None,
+                best: bool = False):
         """Restore into the structure of `state_template`; latest step when
-        step is None. Returns (state, step) or (None, None) if empty."""
+        step is None, or the best monitored step when `best=True` (falls
+        back to latest if no checkpoint has metrics yet). Returns
+        (state, step) or (None, None) if empty."""
         if step is None:
-            step = self._mgr.latest_step()
+            step = (self.best_step() if best else None) or self._mgr.latest_step()
         if step is None:
             return None, None
         state = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
@@ -44,6 +63,11 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        """Step with the best monitored metric (reference ModelCheckpoint
+        min-val_total_loss selection, train.py:34-43)."""
+        return self._mgr.best_step()
 
     def wait(self):
         self._mgr.wait_until_finished()

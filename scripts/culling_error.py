@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Quantify the rendering error of the fast-path approximations.
+
+Renders several synthetic-rig scenes at full resolution with the STRICT
+reference-semantics config (march every ray, re-evaluate the full coarse+
+fine union — reference src/model.py:942-1108) and with each fast-path
+flag, then reports PSNR/SSIM of the fast render against the strict render
+(and of both against GT where the target view is available).
+
+Usage:
+  python scripts/culling_error.py [--size 512] [--scenes 3] [--trained CKPT]
+
+Output: one JSON line per (scene, variant) + a markdown table on stdout.
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--scenes", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    args = ap.parse_args()
+
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.evaluation.metrics import psnr, structural_similarity
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+    from keypointnerf_tpu.render import render_image
+
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    # strict reference semantics: all rays coarse+fine, full union re-eval
+    strict_cfg = KeypointNeRFConfig(
+        compute_dtype=cdt, fused_feature_map=False,
+        fine_topk_ratio=1.0, coarse_topk_ratio=1.0, reuse_coarse_eval=False,
+    )
+    variants = {
+        "reuse_coarse": dataclasses.replace(strict_cfg, reuse_coarse_eval=True),
+        "fused_map": dataclasses.replace(strict_cfg, fused_feature_map=True),
+        "fine_cull_0.5": dataclasses.replace(strict_cfg, fine_topk_ratio=0.5),
+        "coarse_cull_0.5": dataclasses.replace(strict_cfg, coarse_topk_ratio=0.5),
+        "fast_all": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
+        ),
+    }
+
+    dev = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    rows = []
+    for scene in range(args.scenes):
+        sample = make_sample(
+            SyntheticConfig(image_size=args.size, n_views=4), seed=scene
+        )
+        with jax.default_device(cpu):
+            vb_cpu = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+            strict_model = KeypointNeRF(strict_cfg)
+            params = jax.jit(strict_model.init, static_argnums=2)(
+                {"params": jax.random.key(7), "render": jax.random.key(8)},
+                vb_cpu, True,
+            )
+        params = jax.device_put(params, dev)
+        vb = jax.device_put(vb_cpu, dev)
+
+        def render(cfg):
+            model = KeypointNeRF(cfg)
+            out = render_image(
+                model, params, vb, height=args.size, width=args.size,
+                chunk=args.chunk,
+            )
+            return np.clip(
+                np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0
+            )
+
+        ref_img = render(strict_cfg)
+        gt = np.asarray(vb_cpu.tar_image, np.float32)
+        base_psnr = float(psnr(ref_img, gt))
+        for name, cfg in variants.items():
+            img = render(cfg)
+            row = {
+                "scene": scene, "variant": name,
+                "psnr_vs_strict": round(float(psnr(img, ref_img)), 2),
+                "ssim_vs_strict": round(float(structural_similarity(img, ref_img, multichannel=True)), 4),
+                "psnr_vs_gt": round(float(psnr(img, gt)), 2),
+                "strict_psnr_vs_gt": round(base_psnr, 2),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    # markdown summary averaged over scenes
+    print("\n| variant | PSNR vs strict | SSIM vs strict | ΔPSNR vs GT |")
+    print("|---|---|---|---|")
+    for name in variants:
+        rs = [r for r in rows if r["variant"] == name]
+        p = np.mean([r["psnr_vs_strict"] for r in rs])
+        s = np.mean([r["ssim_vs_strict"] for r in rs])
+        dg = np.mean([r["psnr_vs_gt"] - r["strict_psnr_vs_gt"] for r in rs])
+        print(f"| {name} | {p:.2f} dB | {s:.4f} | {dg:+.2f} dB |")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Hardware validation of the Pallas kernels on the real TPU.
+
+For each kernel: compile on the attached TPU (NOT interpret mode), check
+numeric parity against the XLA reference implementation, and time both with
+the relay-safe measure pattern (single jitted program, scalar fetch, RT
+floor subtracted). Prints one JSON line per check.
+
+Usage: python scripts/validate_pallas_hw.py [--only geo|sp|gather] [--n N]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, choices=[None, "geo", "sp", "gather"])
+    ap.add_argument("--n", type=int, default=65536, help="points per call")
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(json.dumps({"device": str(dev), "platform": dev.platform}))
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    zeros = jax.device_put(jnp.zeros(8), dev)
+
+    def measure(name, fn, *fn_args):
+        f = jax.jit(fn)
+        float(f(*fn_args))  # compile + warm
+        float(trivial(zeros))
+        t0 = time.perf_counter()
+        float(trivial(zeros))
+        t_rt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f(*fn_args))
+        dt = max(time.perf_counter() - t0 - t_rt, 1e-9)
+        print(json.dumps({"component": name, "time_s": round(dt, 5)}), flush=True)
+        return dt
+
+    from keypointnerf_tpu.models.mlp import GeoFusionMLP
+    from keypointnerf_tpu.ops.pallas import geo_mlp_apply, sp_geo_mlp_apply
+    from keypointnerf_tpu.ops.pallas.fused_geo_mlp import fused_geo_mlp_reference
+
+    V, N, K, DSP = 3, args.n, 24, 168
+    gfm = GeoFusionMLP((DSP, 128, 128, 120, 64), (128, 64, 64, 2), (64, 8), (0, 2))
+    ks = jax.random.split(jax.random.key(0), 8)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sp = jax.random.normal(ks[0], (V, N, DSP))
+        f0 = jax.random.normal(ks[1], (V, N, 64))
+        f1 = jax.random.normal(ks[2], (V, N, 8))
+        mask = (jax.random.uniform(ks[3], (V, N, 1)) > 0.2).astype(jnp.float32)
+        w = mask / (jnp.sum(mask, 0, keepdims=True) + 1e-6)
+        mp = gfm.init(ks[4], sp, [f0, f1], mask, w)["params"]
+    sp, f0, f1, mask, w, mp = jax.device_put((sp, f0, f1, mask, w, mp), dev)
+
+    if args.only in (None, "geo"):
+        try:
+            pal = jax.jit(
+                lambda mp, *a: geo_mlp_apply(mp, *a, compute_dtype=cdt)[0]
+            )
+            ref = jax.jit(
+                lambda mp, *a: fused_geo_mlp_reference(mp, *a, compute_dtype=cdt)[0]
+            )
+            o_pal = np.asarray(pal(mp, sp, f0, f1, mask, w))
+            o_ref = np.asarray(ref(mp, sp, f0, f1, mask, w))
+            err = float(np.max(np.abs(o_pal - o_ref)))
+            scale = float(np.max(np.abs(o_ref)) + 1e-9)
+            print(json.dumps({"check": "geo_mlp_parity_hw", "max_abs_err": err,
+                              "ref_scale": scale, "ok": err / scale < 2e-2}),
+                  flush=True)
+            t_ref = measure(f"geo_mlp_xla_{N}", lambda *a: jnp.sum(ref(*a)),
+                            mp, sp, f0, f1, mask, w)
+            t_pal = measure(f"geo_mlp_pallas_{N}", lambda *a: jnp.sum(pal(*a)),
+                            mp, sp, f0, f1, mask, w)
+            print(json.dumps({"check": "geo_mlp_speedup", "xla_s": round(t_ref, 5),
+                              "pallas_s": round(t_pal, 5),
+                              "speedup": round(t_ref / t_pal, 3)}), flush=True)
+        except Exception:
+            print(json.dumps({"check": "geo_mlp_hw", "error":
+                              traceback.format_exc()[-600:]}), flush=True)
+
+    if args.only in (None, "sp"):
+        try:
+            with jax.default_device(cpu):
+                pts_cam = jax.random.normal(ks[5], (V, N, 3))
+                kpt_cam = jax.random.normal(ks[6], (V, K, 3))
+            pts_cam, kpt_cam = jax.device_put((pts_cam, kpt_cam), dev)
+            spf = jax.jit(
+                lambda mp, *a: sp_geo_mlp_apply(mp, *a, compute_dtype=cdt)[0]
+            )
+            o = np.asarray(spf(mp, pts_cam, kpt_cam, f0, f1, mask, w))
+            print(json.dumps({"check": "sp_geo_mlp_compiles_hw", "ok": True,
+                              "out_norm": float(np.linalg.norm(o))}), flush=True)
+            measure(f"sp_geo_mlp_pallas_{N}", lambda *a: jnp.sum(spf(*a)),
+                    mp, pts_cam, kpt_cam, f0, f1, mask, w)
+        except Exception:
+            print(json.dumps({"check": "sp_geo_mlp_hw", "error":
+                              traceback.format_exc()[-600:]}), flush=True)
+
+    if args.only in (None, "gather"):
+        from keypointnerf_tpu.ops.feat_sample import bilinear_sample
+        from keypointnerf_tpu.ops.pallas.dma_gather import dma_bilinear_sample
+
+        H = W = 512
+        C = 84
+        with jax.default_device(cpu):
+            fmap = jax.random.normal(ks[7], (H, W, C))
+            xy = jax.random.uniform(ks[0], (N, 2), minval=-1.0, maxval=1.0)
+        fmap, xy = jax.device_put((fmap, xy), dev)
+        try:
+            dma = jax.jit(dma_bilinear_sample)
+            o_dma = np.asarray(dma(fmap, xy))
+            o_ref = np.asarray(jax.jit(bilinear_sample)(fmap, xy))
+            err = float(np.max(np.abs(o_dma - o_ref)))
+            print(json.dumps({"check": "dma_gather_parity_hw", "max_abs_err": err,
+                              "ok": err < 1e-4}), flush=True)
+            t_ref = measure(f"gather_xla_{N}x{C}",
+                            lambda f, x: jnp.sum(bilinear_sample(f, x)), fmap, xy)
+            t_dma = measure(f"gather_dma_{N}x{C}",
+                            lambda f, x: jnp.sum(dma_bilinear_sample(f, x)), fmap, xy)
+            print(json.dumps({"check": "dma_gather_speedup", "xla_s": round(t_ref, 5),
+                              "dma_s": round(t_dma, 5),
+                              "speedup": round(t_ref / t_dma, 3)}), flush=True)
+        except Exception:
+            print(json.dumps({"check": "dma_gather_hw", "error":
+                              traceback.format_exc()[-600:]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

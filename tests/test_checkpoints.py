@@ -52,3 +52,28 @@ def test_latest_step_and_multiple_saves(tmp_path):
     restored1, _ = mgr.restore(make_state(0.0), step=1)
     assert restored1 is not None
     mgr.close()
+
+
+def test_best_step_selection(tmp_path):
+    """Best-model tracking on min val_total_loss (reference ModelCheckpoint,
+    train.py:34-43): restore(best=True) must pick the best step, not the
+    latest."""
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    for s, loss in ((1, 0.5), (2, 0.2), (3, 0.4)):
+        mgr.save(s, make_state(float(s)), metrics={"val_total_loss": loss})
+    mgr.wait()
+    assert mgr.best_step() == 2
+    assert mgr.latest_step() == 3
+    restored, step = mgr.restore(make_state(0.0), best=True)
+    assert step == 2
+    np.testing.assert_array_equal(np.asarray(restored.params["w"])[0, 0], 2.0)
+    mgr.close()
+
+
+def test_best_falls_back_to_latest_without_metrics(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(7, make_state(7.0))
+    mgr.wait()
+    restored, step = mgr.restore(make_state(0.0), best=True)
+    assert step == 7 and restored is not None
+    mgr.close()

@@ -225,3 +225,65 @@ def test_coarse_cull_close_to_full(model_and_params):
     assert np.all(np.isfinite(b["rgb_fine"]))
     d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
     assert float(d.mean()) < 0.03, float(d.mean())
+
+
+def test_patch_clamp_per_axis(model_and_params):
+    """Patch pixel coords must clamp x to [0, W-1] and y to [0, H-1]
+    independently — a shared min(W,H) bound is wrong for non-square images."""
+    import types
+
+    model, params, _ = model_and_params
+    H, W = 16, 32
+    mask = np.zeros((H, W, 1), np.float32)
+    mask[H - 1, W - 1, 0] = 1.0  # only fg pixel: patch centers bottom-right
+    vb = types.SimpleNamespace(tar_mask=jnp.asarray(mask))
+    pix = model.apply(
+        params, vb, jax.random.key(0), method=KeypointNeRF.sample_patch_pixels
+    )
+    x, y = np.asarray(pix[:, 0]), np.asarray(pix[:, 1])
+    assert x.min() >= 0 and y.min() >= 0
+    assert x.max() == W - 1  # would be min(W-1, H-1) = 15 with the old bug
+    assert y.max() == H - 1
+
+
+@pytest.mark.parametrize("mode", ["attention_v0", "attention_v1"])
+def test_attention_pool_selectable_from_config(mode):
+    """cfg.pool_mode wires the reference PoolModule attention variants
+    (src/utils.py:589-647) into the flagship geometry head."""
+    cfg = KeypointNeRFConfig(
+        n_coarse=4, n_fine=4, patch_h=4, patch_w=4, geo_n_downsample=2,
+        pool_mode=mode,
+    )
+    model = KeypointNeRF(cfg)
+    vb = tiny_batch(size=32)
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    # the attention pool contributes its own params
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert any("AttentionPool" in str(p) for p, _ in flat)
+    out = model.apply(params, vb, True, rngs={"render": jax.random.key(2)})
+    assert out["rgb_fine"].shape == (4, 4, 3)
+    for k, v in out.items():
+        assert np.all(np.isfinite(v)), k
+
+
+def test_pallas_rejects_attention_pool():
+    cfg = KeypointNeRFConfig(pool_mode="attention_v0", use_pallas_geo_mlp=True)
+    vb = tiny_batch(size=32)
+    with pytest.raises(ValueError):
+        KeypointNeRF(cfg).init(
+            {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+        )
+
+
+def test_render_image_feats_reuse(model_and_params):
+    """Passing pre-encoded feats must reproduce the in-jit encode exactly
+    (the orbit renderer encodes once per subject)."""
+    model, params, vb = model_and_params
+    feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
+    a = render_image(model, params, vb, height=16, width=16, chunk=64)
+    b = render_image(model, params, vb, height=16, width=16, chunk=64, feats=feats)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb_fine"]), np.asarray(b["rgb_fine"]), atol=1e-6
+    )

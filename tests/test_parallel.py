@@ -28,20 +28,77 @@ def test_mesh_has_8_devices():
 
 
 @pytest.mark.slow
-def test_sharded_train_step_runs_and_matches_replicated_math():
+def test_sharded_train_step_matches_single_device():
+    """DP gradient parity: the 8-way sharded step must produce the same
+    updated params and metrics as the identical batched step jitted on ONE
+    device (the psum emitted from shardings must be a pure mean, nothing
+    more)."""
+    from keypointnerf_tpu.parallel import make_batch_step_fn
+
     mesh = make_mesh()
     model = KeypointNeRF(TINY)
+    loss_cfg = LossConfig(lambda_vgg=0.0)
     vb0 = tiny_batch(0)
-    state = create_train_state(model, vb0, OptimConfig())
-    step = make_sharded_train_step(model, LossConfig(lambda_vgg=0.0), mesh)
-
     batch = stack_batch([tiny_batch(i) for i in range(8)])
-    state2, err = step(state, batch, jax.random.key(0))
-    assert np.isfinite(float(err["e_all"]))
-    assert np.isfinite(float(err["grad_norm"]))
-    assert int(state2.step) == 1
-    # params actually updated
-    p0 = jax.tree.leaves(state.params)[0] if False else None
+    rng = jax.random.key(0)
+
+    # single-device reference first (the sharded step donates its state)
+    state_a = create_train_state(model, vb0, OptimConfig())
+    single = jax.jit(make_batch_step_fn(model, loss_cfg))
+    ref_state, ref_err = single(state_a, batch, rng)
+
+    state_b = create_train_state(model, vb0, OptimConfig())
+    sharded = make_sharded_train_step(model, loss_cfg, mesh)
+    sh_state, sh_err = sharded(state_b, batch, rng)
+
+    assert int(sh_state.step) == 1
+    np.testing.assert_allclose(
+        float(sh_err["e_all"]), float(ref_err["e_all"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(sh_err["grad_norm"]), float(ref_err["grad_norm"]), rtol=1e-4
+    )
+
+    # gradient parity, leaf by leaf (post-Adam params are NOT compared:
+    # at step 1 Adam is sign-like — m/sqrt(v) = +-1 — so f32 reduction-order
+    # noise on near-zero grads flips whole +-lr updates)
+    from keypointnerf_tpu.training.losses import compute_losses
+    from keypointnerf_tpu.parallel import data_sharding, replicated
+
+    def grads_fn(params, batch, rng):
+        def loss_fn(p):
+            def per_sample(vb, r):
+                out = model.apply(p, vb, True, rngs={"render": r})
+                total, _ = compute_losses(out, loss_cfg, None)
+                return total
+
+            n = jax.tree.leaves(batch)[0].shape[0]
+            totals = jax.vmap(per_sample)(batch, jax.random.split(rng, n))
+            return jnp.mean(totals)
+
+        return jax.grad(loss_fn)(params)
+
+    step_rng = jax.random.fold_in(rng, 0)
+    ref_grads = jax.jit(grads_fn)(state_a.params, batch, step_rng)
+    repl = replicated(mesh)
+    sh_grads = jax.jit(
+        grads_fn, in_shardings=(repl, data_sharding(mesh), repl)
+    )(state_a.params, batch, step_rng)
+    for (path, ref_leaf), sh_leaf in zip(
+        jax.tree_util.tree_leaves_with_path(ref_grads), jax.tree.leaves(sh_grads)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(sh_leaf), np.asarray(ref_leaf), atol=1e-5,
+            err_msg=str(path),
+        )
+    # and the step actually changed the params
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree.leaves(state_a.params), jax.tree.leaves(ref_state.params)
+        )
+    ]
+    assert max(diffs) > 0.0
 
 
 @pytest.mark.slow

@@ -136,6 +136,23 @@ def main():
         cfg, model, train_data, val_data, vgg_params=vgg_params, mesh=mesh
     )
 
+    if args.model_ckpt:
+        # explicit checkpoint dir (reference --model_ckpt, src/config.py:35);
+        # eval restores the best val_total_loss step, not the latest
+        from keypointnerf_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(args.model_ckpt)
+        restored, step = mgr.restore(trainer.state, best=args.run_val)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {args.model_ckpt}")
+        trainer.state = restored
+        print(f"restored {'best' if args.run_val else 'latest'} step {step}")
+    elif args.run_val:
+        restored, step = trainer.ckpt.restore(trainer.state, best=True)
+        if restored is not None:
+            trainer.state = restored
+            print(f"restored best-val step {step}")
+
     if args.run_val:
         from keypointnerf_tpu.evaluation.run_eval import run_eval
 
