@@ -71,3 +71,24 @@ def multiview_bilinear_sample(feats, xy_ndc):
       (V, N, C).
     """
     return jax.vmap(bilinear_sample)(feats, xy_ndc)
+
+
+def multiview_bilinear_sample_dma(feats, xy_ndc, interpret=False):
+    """DMA-pipelined Pallas variant of multiview_bilinear_sample.
+
+    24-27x faster than the XLA gather on TPU v5e at 512^2 maps (exact
+    parity; scripts/validate_pallas_hw.py): XLA lowers each lookup to a
+    generic dynamic-gather (~1.4 us/pt), the kernel streams the (2, 2, C)
+    patches from HBM with a ring of async copies (~55 ns/pt).
+
+    The V axis is a small unrolled loop — each view is one pallas_call.
+    Forward-only (no VJP): use for inference; training falls back to the
+    XLA gather.
+    """
+    from .pallas.dma_gather import dma_bilinear_sample
+
+    outs = [
+        dma_bilinear_sample(feats[v], xy_ndc[v], interpret=interpret)
+        for v in range(feats.shape[0])
+    ]
+    return jnp.stack(outs, axis=0)

@@ -98,8 +98,16 @@ def dma_bilinear_sample(feat, xy_ndc, interpret=False):
 
     Semantics identical to ops.feat_sample.bilinear_sample (align_corners,
     border padding). feat: (H, W, C); xy_ndc: (N, 2); N padded to TILE.
+
+    Hardware constraint (v5e Mosaic): the dynamic HBM patch slice must be
+    lane-aligned — C is padded to a multiple of 128 when needed (callers
+    that keep their feature maps 128-channel-padded avoid the copy).
     """
     H, W, C = feat.shape
+    c_pad = (-C) % 128
+    if c_pad and not interpret:
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, c_pad)))
+        return dma_bilinear_sample(feat, xy_ndc, interpret)[:, :C]
     N = xy_ndc.shape[0]
     n_pad = (-N) % TILE
     if n_pad:

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # tile of points per grid step; V*TILE_N rows of activations stay in VMEM
 TILE_N = 512
+# the sp-fused variant additionally keeps the (V, T, 168) encoding and its
+# sin/cos intermediates in VMEM: at T=512 that overflows the 16 MB scoped
+# VMEM limit (measured 18.87M on v5e), so it tiles half as wide
+SP_TILE_N = 256
 
 
 def softplus100(x):
@@ -296,11 +300,11 @@ def _sp_fused_call(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args,
     sp_level, sp_sigma, sp_scale = sp_args
     V, N = pts_cam.shape[:2]
     C0, C1 = f0.shape[-1], f1.shape[-1]
-    n_tiles = N // TILE_N
+    n_tiles = N // SP_TILE_N
 
     def in_spec(c):
         return pl.BlockSpec(
-            (V, TILE_N, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (V, SP_TILE_N, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
     kpt_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -308,10 +312,10 @@ def _sp_fused_call(pts_cam, kpt_cam, f0, f1, mask, weight, ws, sp_args,
     d_out, d_lv, d_lf = ws[-2].shape[-1], ws[6].shape[-1], ws[8].shape[0]
 
     out_specs = (
-        pl.BlockSpec((TILE_N, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((V, TILE_N, d_lv), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, d_lf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP_TILE_N, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP_TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, SP_TILE_N, d_lv), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP_TILE_N, d_lf), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((N, d_out), jnp.float32),
@@ -374,7 +378,7 @@ def sp_geo_mlp_apply(params, pts_cam, kpt_cam, f0, f1, mask, weight,
     """
     ws = fold_weight_norm(params)
     V, N = pts_cam.shape[:2]
-    n_pad = (-N) % TILE_N
+    n_pad = (-N) % SP_TILE_N
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, n_pad), (0, 0))) if n_pad else x

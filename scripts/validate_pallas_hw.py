@@ -2,9 +2,12 @@
 """Hardware validation of the Pallas kernels on the real TPU.
 
 For each kernel: compile on the attached TPU (NOT interpret mode), check
-numeric parity against the XLA reference implementation, and time both with
-the relay-safe measure pattern (single jitted program, scalar fetch, RT
-floor subtracted). Prints one JSON line per check.
+numeric parity against the XLA reference implementation, and time both.
+
+Relay-awareness: identical repeat executions through the axon relay are
+memoized, so each timing is ONE jitted lax.scan over REPS iterations whose
+inputs are varied per step, reduced to a scalar, timed between scalar
+fetches with the round-trip floor subtracted.
 
 Usage: python scripts/validate_pallas_hw.py [--only geo|sp|gather] [--n N]
 """
@@ -24,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+REPS = 8
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -33,7 +38,7 @@ def main():
     args = ap.parse_args()
 
     dev = jax.devices()[0]
-    print(json.dumps({"device": str(dev), "platform": dev.platform}))
+    print(json.dumps({"device": str(dev), "platform": dev.platform}), flush=True)
     cdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     @jax.jit
@@ -42,17 +47,31 @@ def main():
 
     zeros = jax.device_put(jnp.zeros(8), dev)
 
-    def measure(name, fn, *fn_args):
-        f = jax.jit(fn)
-        float(f(*fn_args))  # compile + warm
+    def measure(name, scan_body, divisor):
+        """scan_body(i) -> scalar; folded into one jitted scan over REPS
+        varying iterations."""
+
+        @jax.jit
+        def run():
+            def step(acc, i):
+                return acc + scan_body(i), None
+
+            total, _ = jax.lax.scan(
+                step, jnp.asarray(0.0, jnp.float32), jnp.arange(REPS)
+            )
+            return total
+
+        float(run())  # compile + warm
         float(trivial(zeros))
         t0 = time.perf_counter()
         float(trivial(zeros))
         t_rt = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(f(*fn_args))
-        dt = max(time.perf_counter() - t0 - t_rt, 1e-9)
-        print(json.dumps({"component": name, "time_s": round(dt, 5)}), flush=True)
+        float(run())
+        dt = max(time.perf_counter() - t0 - t_rt, 1e-9) / REPS
+        print(json.dumps({"component": name, "time_s": round(dt, 6),
+                          "per_unit_ns": round(dt / divisor * 1e9, 3)}),
+              flush=True)
         return dt
 
     from keypointnerf_tpu.models.mlp import GeoFusionMLP
@@ -74,25 +93,24 @@ def main():
 
     if args.only in (None, "geo"):
         try:
-            pal = jax.jit(
-                lambda mp, *a: geo_mlp_apply(mp, *a, compute_dtype=cdt)[0]
-            )
-            ref = jax.jit(
-                lambda mp, *a: fused_geo_mlp_reference(mp, *a, compute_dtype=cdt)[0]
-            )
-            o_pal = np.asarray(pal(mp, sp, f0, f1, mask, w))
-            o_ref = np.asarray(ref(mp, sp, f0, f1, mask, w))
+            pal = lambda s: geo_mlp_apply(mp, s, f0, f1, mask, w,
+                                          compute_dtype=cdt)[0]
+            ref = lambda s: fused_geo_mlp_reference(mp, s, f0, f1, mask, w,
+                                                    compute_dtype=cdt)[0]
+            o_pal = np.asarray(jax.jit(pal)(sp))
+            o_ref = np.asarray(jax.jit(ref)(sp))
             err = float(np.max(np.abs(o_pal - o_ref)))
             scale = float(np.max(np.abs(o_ref)) + 1e-9)
             print(json.dumps({"check": "geo_mlp_parity_hw", "max_abs_err": err,
                               "ref_scale": scale, "ok": err / scale < 2e-2}),
                   flush=True)
-            t_ref = measure(f"geo_mlp_xla_{N}", lambda *a: jnp.sum(ref(*a)),
-                            mp, sp, f0, f1, mask, w)
-            t_pal = measure(f"geo_mlp_pallas_{N}", lambda *a: jnp.sum(pal(*a)),
-                            mp, sp, f0, f1, mask, w)
-            print(json.dumps({"check": "geo_mlp_speedup", "xla_s": round(t_ref, 5),
-                              "pallas_s": round(t_pal, 5),
+            vary = lambda i: sp * (1.0 + 0.001 * i)
+            t_ref = measure(f"geo_mlp_xla_{N}",
+                            lambda i: jnp.sum(ref(vary(i))), N)
+            t_pal = measure(f"geo_mlp_pallas_{N}",
+                            lambda i: jnp.sum(pal(vary(i))), N)
+            print(json.dumps({"check": "geo_mlp_speedup", "xla_s": round(t_ref, 6),
+                              "pallas_s": round(t_pal, 6),
                               "speedup": round(t_ref / t_pal, 3)}), flush=True)
         except Exception:
             print(json.dumps({"check": "geo_mlp_hw", "error":
@@ -104,14 +122,35 @@ def main():
                 pts_cam = jax.random.normal(ks[5], (V, N, 3))
                 kpt_cam = jax.random.normal(ks[6], (V, K, 3))
             pts_cam, kpt_cam = jax.device_put((pts_cam, kpt_cam), dev)
-            spf = jax.jit(
-                lambda mp, *a: sp_geo_mlp_apply(mp, *a, compute_dtype=cdt)[0]
-            )
-            o = np.asarray(spf(mp, pts_cam, kpt_cam, f0, f1, mask, w))
-            print(json.dumps({"check": "sp_geo_mlp_compiles_hw", "ok": True,
-                              "out_norm": float(np.linalg.norm(o))}), flush=True)
-            measure(f"sp_geo_mlp_pallas_{N}", lambda *a: jnp.sum(spf(*a)),
-                    mp, pts_cam, kpt_cam, f0, f1, mask, w)
+            spf = lambda p: sp_geo_mlp_apply(mp, p, kpt_cam, f0, f1, mask, w,
+                                             compute_dtype=cdt)[0]
+            o = np.asarray(jax.jit(spf)(pts_cam))
+            # XLA reference: spatial_encode(rel_z_decay) -> fused stack
+            from keypointnerf_tpu.models.spatial_encoding import (
+                SpatialEncodingConfig, spatial_encode)
+
+            sc = SpatialEncodingConfig()
+
+            def sp_ref(p):
+                enc = spatial_encode(sc, None, p, None, kpt_cam)
+                return fused_geo_mlp_reference(mp, enc, f0, f1, mask, w,
+                                               compute_dtype=cdt)[0]
+
+            o_ref = np.asarray(jax.jit(sp_ref)(pts_cam))
+            err = float(np.max(np.abs(o - o_ref)))
+            scale = float(np.max(np.abs(o_ref)) + 1e-9)
+            print(json.dumps({"check": "sp_geo_mlp_parity_hw", "max_abs_err": err,
+                              "ref_scale": scale, "ok": err / scale < 2e-2}),
+                  flush=True)
+            vary = lambda i: pts_cam + 0.001 * i
+            t_ref = measure(f"sp_geo_mlp_xla_{N}",
+                            lambda i: jnp.sum(sp_ref(vary(i))), N)
+            t_pal = measure(f"sp_geo_mlp_pallas_{N}",
+                            lambda i: jnp.sum(spf(vary(i))), N)
+            print(json.dumps({"check": "sp_geo_mlp_speedup",
+                              "xla_s": round(t_ref, 6),
+                              "pallas_s": round(t_pal, 6),
+                              "speedup": round(t_ref / t_pal, 3)}), flush=True)
         except Exception:
             print(json.dumps({"check": "sp_geo_mlp_hw", "error":
                               traceback.format_exc()[-600:]}), flush=True)
@@ -121,28 +160,32 @@ def main():
         from keypointnerf_tpu.ops.pallas.dma_gather import dma_bilinear_sample
 
         H = W = 512
-        C = 84
-        with jax.default_device(cpu):
-            fmap = jax.random.normal(ks[7], (H, W, C))
-            xy = jax.random.uniform(ks[0], (N, 2), minval=-1.0, maxval=1.0)
-        fmap, xy = jax.device_put((fmap, xy), dev)
-        try:
-            dma = jax.jit(dma_bilinear_sample)
-            o_dma = np.asarray(dma(fmap, xy))
-            o_ref = np.asarray(jax.jit(bilinear_sample)(fmap, xy))
-            err = float(np.max(np.abs(o_dma - o_ref)))
-            print(json.dumps({"check": "dma_gather_parity_hw", "max_abs_err": err,
-                              "ok": err < 1e-4}), flush=True)
-            t_ref = measure(f"gather_xla_{N}x{C}",
-                            lambda f, x: jnp.sum(bilinear_sample(f, x)), fmap, xy)
-            t_dma = measure(f"gather_dma_{N}x{C}",
-                            lambda f, x: jnp.sum(dma_bilinear_sample(f, x)), fmap, xy)
-            print(json.dumps({"check": "dma_gather_speedup", "xla_s": round(t_ref, 5),
-                              "dma_s": round(t_dma, 5),
-                              "speedup": round(t_ref / t_dma, 3)}), flush=True)
-        except Exception:
-            print(json.dumps({"check": "dma_gather_hw", "error":
-                              traceback.format_exc()[-600:]}), flush=True)
+        for C in (84, 128):
+            with jax.default_device(cpu):
+                fmap = jax.random.normal(ks[7], (H, W, C))
+                xy = jax.random.uniform(ks[0], (N, 2), minval=-1.0, maxval=1.0)
+            fmap, xy = jax.device_put((fmap, xy), dev)
+            try:
+                o_dma = np.asarray(jax.jit(dma_bilinear_sample)(fmap, xy))
+                o_ref = np.asarray(jax.jit(bilinear_sample)(fmap, xy))
+                err = float(np.max(np.abs(o_dma - o_ref)))
+                print(json.dumps({"check": f"dma_gather_parity_hw_c{C}",
+                                  "max_abs_err": err, "ok": err < 1e-4}),
+                      flush=True)
+                vary = lambda i: jnp.clip(
+                    xy + 0.0003 * i, -1.0, 1.0
+                )
+                t_ref = measure(f"gather_xla_{N}x{C}",
+                                lambda i: jnp.sum(bilinear_sample(fmap, vary(i))), N)
+                t_dma = measure(f"gather_dma_{N}x{C}",
+                                lambda i: jnp.sum(dma_bilinear_sample(fmap, vary(i))), N)
+                print(json.dumps({"check": f"dma_gather_speedup_c{C}",
+                                  "xla_s": round(t_ref, 6),
+                                  "dma_s": round(t_dma, 6),
+                                  "speedup": round(t_ref / t_dma, 3)}), flush=True)
+            except Exception:
+                print(json.dumps({"check": f"dma_gather_hw_c{C}", "error":
+                                  traceback.format_exc()[-600:]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -287,3 +287,27 @@ def test_render_image_feats_reuse(model_and_params):
     np.testing.assert_allclose(
         np.asarray(a["rgb_fine"]), np.asarray(b["rgb_fine"]), atol=1e-6
     )
+
+
+def test_dma_gather_render_parity_interpret():
+    """cfg.use_dma_gather must reproduce the XLA-gather render exactly
+    (interpret mode on CPU; hardware parity in scripts/validate_pallas_hw.py)."""
+    import dataclasses
+
+    base = KeypointNeRFConfig(
+        n_coarse=4, n_fine=4, patch_h=4, patch_w=4, geo_n_downsample=2,
+        fused_feature_map=True,
+    )
+    vb = tiny_batch(size=32)
+    model_a = KeypointNeRF(base)
+    params = model_a.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    model_b = KeypointNeRF(
+        dataclasses.replace(base, use_dma_gather=True, pallas_interpret=True)
+    )
+    a = render_image(model_a, params, vb, height=8, width=8, chunk=32)
+    b = render_image(model_b, params, vb, height=8, width=8, chunk=32)
+    np.testing.assert_allclose(
+        np.asarray(b["rgb_fine"]), np.asarray(a["rgb_fine"]), atol=1e-5
+    )
