@@ -1,3 +1,4 @@
+from .composite_kernel import composite_importance_pallas
 from .fused_geo_mlp import (
     fold_weight_norm,
     fused_geo_mlp_reference,
@@ -6,6 +7,7 @@ from .fused_geo_mlp import (
 )
 
 __all__ = [
+    "composite_importance_pallas",
     "fold_weight_norm",
     "geo_mlp_apply",
     "fused_geo_mlp_reference",

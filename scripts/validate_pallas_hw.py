@@ -32,7 +32,8 @@ REPS = 8
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default=None, choices=[None, "geo", "sp", "gather"])
+    ap.add_argument("--only", default=None,
+                    choices=[None, "geo", "sp", "gather", "composite"])
     ap.add_argument("--n", type=int, default=65536, help="points per call")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     args = ap.parse_args()
@@ -186,6 +187,51 @@ def main():
             except Exception:
                 print(json.dumps({"check": f"dma_gather_hw_c{C}", "error":
                                   traceback.format_exc()[-600:]}), flush=True)
+
+
+    if args.only in (None, "composite"):
+        from keypointnerf_tpu.geometry.compositing import composite
+        from keypointnerf_tpu.geometry.sampling import importance_z
+        from keypointnerf_tpu.ops.pallas import composite_importance_pallas
+
+        R, S, F = 8192, 64, 64
+        with jax.default_device(cpu):
+            kz = jax.random.split(jax.random.key(2), 4)
+            z = jnp.sort(jax.random.uniform(kz[0], (R, S), minval=2.0, maxval=5.0), -1)
+            al = jax.nn.relu(jax.random.normal(kz[1], (R, S)))
+            sd_ = jax.random.normal(kz[2], (R, S))
+            rgb = jax.random.uniform(kz[3], (R, S, 3))
+            u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, F), (R, F))
+        z, al, sd_, rgb, u = jax.device_put((z, al, sd_, rgb, u), dev)
+
+        def xla_ref(z, al, sd_, rgb):
+            out = composite(al, sd_, rgb, z)
+            z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+            zf = importance_z(None, out.contrib[..., 1:-1], z_mid, F, uniform=True)
+            return jnp.sum(out.color) + jnp.sum(zf)
+
+        def pal(z, al, sd_, rgb):
+            color, depth, acc, sdfo, contrib, zf = composite_importance_pallas(
+                z, al, sd_, rgb, u)
+            return jnp.sum(color) + jnp.sum(zf)
+
+        try:
+            o_ref = np.asarray(jax.jit(xla_ref)(z, al, sd_, rgb))
+            o_pal = np.asarray(jax.jit(pal)(z, al, sd_, rgb))
+            rel = abs(float(o_pal - o_ref)) / (abs(float(o_ref)) + 1e-9)
+            print(json.dumps({"check": "composite_parity_hw(sum)", "rel_err": rel,
+                              "ok": rel < 1e-3}), flush=True)
+            vary = lambda i: al * (1.0 + 0.001 * i)
+            t_ref = measure(f"composite_xla_{R}x{S}",
+                            lambda i: xla_ref(z, vary(i), sd_, rgb), R)
+            t_pal = measure(f"composite_pallas_{R}x{S}",
+                            lambda i: pal(z, vary(i), sd_, rgb), R)
+            print(json.dumps({"check": "composite_speedup", "xla_s": round(t_ref, 6),
+                              "pallas_s": round(t_pal, 6),
+                              "speedup": round(t_ref / t_pal, 3)}), flush=True)
+        except Exception:
+            print(json.dumps({"check": "composite_hw", "error":
+                              traceback.format_exc()[-600:]}), flush=True)
 
 
 if __name__ == "__main__":

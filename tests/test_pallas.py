@@ -173,3 +173,44 @@ def test_dma_gather_matches_reference():
     ref = bilinear_sample(feat, xy)
     out = dma_bilinear_sample(feat, xy, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_composite_importance_kernel_interpret():
+    """Fused composite+importance kernel matches the XLA twins
+    (geometry.compositing.composite + geometry.sampling.importance_z,
+    uniform eval sampling) in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keypointnerf_tpu.geometry.compositing import composite
+    from keypointnerf_tpu.geometry.sampling import importance_z
+    from keypointnerf_tpu.ops.pallas import composite_importance_pallas
+
+    R, S, F = 64, 16, 8
+    ks = jax.random.split(jax.random.key(11), 5)
+    z = jnp.sort(jax.random.uniform(ks[0], (R, S), minval=2.0, maxval=5.0), -1)
+    alpha = jax.nn.relu(jax.random.normal(ks[1], (R, S)))
+    # include fully-transparent rays (alpha = 0) to hit the acc ~ 0 path
+    alpha = alpha.at[:4].set(0.0)
+    sdf = jax.random.normal(ks[2], (R, S))
+    rgb = jax.random.uniform(ks[3], (R, S, 3))
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, F), (R, F))
+
+    ref = composite(alpha, sdf, rgb, z)
+    z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+    zf_ref = importance_z(None, ref.contrib[..., 1:-1], z_mid, F, uniform=True)
+
+    color, depth, acc, sdf_o, contrib, zf = composite_importance_pallas(
+        z, alpha, sdf, rgb, u, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref.acc), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sdf_o), np.asarray(ref.sdf), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(contrib), np.asarray(ref.contrib), atol=2e-5)
+    # z_fine: the kernel's MXU-matmul cdf rounds differently from XLA's
+    # cumsum, so a u that lands exactly on a bin edge can select the
+    # neighboring bin — sub-bin-width deviations on a handful of samples
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zf_ref), atol=5e-3)
+    assert float(np.mean(np.abs(np.asarray(zf) - np.asarray(zf_ref)))) < 2e-4
