@@ -2,25 +2,35 @@
 """Benchmark: rendering throughput (rays/sec/chip) on the flagship model.
 
 Run by the driver on real TPU hardware at the end of every round. Prints
-ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Three measurements (VERDICT r1 items 4 & 10):
+  * value                — fast path at 256x256 (bf16, fused feature map,
+                           coarse/fine ray culling, coarse-value reuse).
+                           Headline; comparable to the round-1 baseline.
+  * strict_rays_per_sec  — strict reference semantics at 256x256: every
+                           ray marched coarse+fine, full 128-depth union
+                           re-evaluated, no fused map approximation
+                           (reference src/model.py:942-1108).
+  * rays_per_sec_512     — fast path at the reference's eval resolution
+                           512x512 (src/model.py:897-940).
 
 The measured path is the full coarse+fine inference ray-march (64 + 64
-samples, union -> 128 composited) of the zju-config model at 256x256,
-including multi-view feature sampling, spatial encoding, geometry MLP
-fusion and the IBR color head — the reference's `render_pifu_nerf` hot
-loop (reference src/model.py:897-1108).
+samples) of the zju-config model, including multi-view feature sampling,
+spatial encoding, geometry MLP fusion and the IBR color head.
 
 Relay-awareness: on the axon TPU relay, eager ops and host fetches each
-pay a large tunnel round trip and block_until_ready does not block. So the
-whole measurement is ONE jitted program — a lax.scan over N_CAMERAS orbit
-cameras, each a full-image render reduced to a scalar — timed between two
+pay a large tunnel round trip and block_until_ready does not block. So
+each measurement is ONE jitted program — a lax.scan over orbit cameras,
+each a full-image render reduced to a scalar — timed between two
 single-scalar fetches with the round-trip floor subtracted.
 
 `vs_baseline` is measured against BASELINE_RAYS_PER_SEC, the throughput of
-this repo's first working jnp/XLA implementation on one chip (the
-reference publishes no speed numbers — SURVEY.md §6 — so round 1 sets the
-bar and later rounds must beat it).
+this repo's first working jnp/XLA implementation on one chip at 256x256
+(the reference publishes no speed numbers — SURVEY.md §6 — so round 1 set
+the bar and later rounds must beat it).
 """
+import dataclasses
 import json
 import os
 import time
@@ -34,12 +44,10 @@ import numpy as np
 
 # Round-1 XLA baseline on a single chip (rays/sec): the first honest
 # measurement of the naive jnp/XLA implementation on TPU v5e (f32, row
-# gathers, (R,S,V,C) layout). vs_baseline = current / this.
+# gathers, (R,S,V,C) layout) at 256x256. vs_baseline = current / this.
 BASELINE_RAYS_PER_SEC = 9_187.0
 
-HEIGHT = WIDTH = 256
 CHUNK = 8192
-N_CAMERAS = 4
 
 
 def main():
@@ -51,51 +59,29 @@ def main():
 
     # fast inference path: bf16 compute, single fused feature map, and
     # coarse/fine ray culling of the rays that miss the subject
-    cfg = KeypointNeRFConfig(
+    fast_cfg = KeypointNeRFConfig(
         compute_dtype=jnp.bfloat16, fused_feature_map=True,
         fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
     )
-    model = KeypointNeRF(cfg)
+    # strict reference semantics: march every ray, re-evaluate the full
+    # coarse+fine union, exact per-map bilinear lookups
+    strict_cfg = dataclasses.replace(
+        fast_cfg, fused_feature_map=False,
+        fine_topk_ratio=1.0, coarse_topk_ratio=1.0, reuse_coarse_eval=False,
+    )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 
     # init on CPU (avoids compiling the training graph on the accelerator)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         vb_cpu = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
-        params = jax.jit(model.init, static_argnums=2)(
+        init_model = KeypointNeRF(fast_cfg)
+        params = jax.jit(init_model.init, static_argnums=2)(
             {"params": jax.random.key(0), "render": jax.random.key(1)}, vb_cpu, True
         )
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
     vb = jax.device_put(vb_cpu, dev)
-
-    def orbit(seed):
-        Rs, ts = [], []
-        for i in range(N_CAMERAS):
-            ang = seed + 0.7 * i
-            eye = 3.5 * np.array([np.cos(ang), 0.05, np.sin(ang)])
-            R, t = look_at(eye, np.zeros(3))
-            Rs.append(R)
-            ts.append(t)
-        return jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts))
-
-    @jax.jit
-    def render_many(params, vb, Rs, ts):
-        feats = model.apply(params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode)
-        pix = pixel_grid(HEIGHT, WIDTH).astype(jnp.float32)
-
-        def one(acc, Rt):
-            R, t = Rt
-            origin, dirs, near, far = camera_rays(
-                pix, vb.tar_K, R, t, cfg.znear, cfg.zfar
-            )
-            out = render_rays_chunked(
-                model, params, feats, vb, origin, dirs, near, far, chunk=CHUNK
-            )
-            return acc + jnp.sum(out["rgb_fine"]), None
-
-        total, _ = jax.lax.scan(one, jnp.asarray(0.0), (Rs, ts))
-        return total
 
     @jax.jit
     def trivial(x):
@@ -103,27 +89,68 @@ def main():
 
     zeros = jax.device_put(jnp.zeros(8), dev)
     float(trivial(zeros))  # compile trivial
-    Rs0, ts0 = orbit(0.0)
-    float(render_many(params, vb, Rs0, ts0))  # compile + warm
 
-    t0 = time.perf_counter()
-    float(trivial(zeros))
-    t_rt = time.perf_counter() - t0  # round-trip floor
+    def orbit(seed, n_cameras):
+        Rs, ts = [], []
+        for i in range(n_cameras):
+            ang = seed + 0.7 * i
+            eye = 3.5 * np.array([np.cos(ang), 0.05, np.sin(ang)])
+            R, t = look_at(eye, np.zeros(3))
+            Rs.append(R)
+            ts.append(t)
+        return jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts))
 
-    Rs1, ts1 = orbit(1.234)
-    t0 = time.perf_counter()
-    float(render_many(params, vb, Rs1, ts1))
-    total = time.perf_counter() - t0
+    def measure(cfg, size, n_cameras):
+        model = KeypointNeRF(cfg)
+        pix = pixel_grid(size, size).astype(jnp.float32)
 
-    dt = max(total - t_rt, 1e-9) / N_CAMERAS
-    rays_per_sec = HEIGHT * WIDTH / dt
+        @jax.jit
+        def render_many(params, vb, Rs, ts):
+            feats = model.apply(
+                params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode
+            )
+
+            def one(acc, Rt):
+                R, t = Rt
+                origin, dirs, near, far = camera_rays(
+                    pix, vb.tar_K, R, t, cfg.znear, cfg.zfar
+                )
+                out = render_rays_chunked(
+                    model, params, feats, vb, origin, dirs, near, far, chunk=CHUNK
+                )
+                return acc + jnp.sum(out["rgb_fine"]), None
+
+            total, _ = jax.lax.scan(one, jnp.asarray(0.0), (Rs, ts))
+            return total
+
+        Rs0, ts0 = orbit(0.0, n_cameras)
+        float(render_many(params, vb, Rs0, ts0))  # compile + warm
+
+        t0 = time.perf_counter()
+        float(trivial(zeros))
+        t_rt = time.perf_counter() - t0  # round-trip floor
+
+        Rs1, ts1 = orbit(1.234, n_cameras)
+        t0 = time.perf_counter()
+        float(render_many(params, vb, Rs1, ts1))
+        total = time.perf_counter() - t0
+        dt = max(total - t_rt, 1e-9) / n_cameras
+        return size * size / dt
+
+    fast_256 = measure(fast_cfg, 256, 4)
+    fast_512 = measure(fast_cfg, 512, 2)
+    strict_256 = measure(strict_cfg, 256, 2)
+
     print(
         json.dumps(
             {
                 "metric": "render_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
+                "value": round(fast_256, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                "vs_baseline": round(fast_256 / BASELINE_RAYS_PER_SEC, 3),
+                "rays_per_sec_512": round(fast_512, 1),
+                "strict_rays_per_sec": round(strict_256, 1),
+                "strict_vs_baseline": round(strict_256 / BASELINE_RAYS_PER_SEC, 3),
             }
         )
     )

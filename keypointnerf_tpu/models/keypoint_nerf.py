@@ -135,10 +135,17 @@ class KeypointNeRFConfig:
     fused_feature_map: bool = False
     # DMA-pipelined Pallas bilinear gather for the per-point feature lookups
     # (ops/pallas/dma_gather.py): 24-27x faster than the XLA gather on v5e
-    # with exact parity. Inference-only (the kernel has no VJP); training
-    # and init fall back to the XLA gather. The fused feature map is padded
-    # to 128 channels at encode time (HBM slice lane alignment).
+    # for RANDOM lookups with exact parity, but slower end-to-end in the
+    # renderer (ray-march lookups are coherent; XLA's gather hits cache) —
+    # see docs/ARCHITECTURE.md. Inference-only (the kernel has no VJP);
+    # training and init fall back to the XLA gather. The fused feature map
+    # is padded to 128 channels at encode time (HBM slice lane alignment).
     use_dma_gather: bool = False
+    # fused Pallas composite + inverse-CDF importance resampling for the
+    # coarse eval pass (ops/pallas/composite_kernel.py): keeps
+    # z/alpha/contrib/cdf in VMEM between compositing and the fine-depth
+    # interpolation. Inference-only.
+    use_pallas_composite: bool = False
     # fine-pass ray culling (inference): only the top-K rays by coarse
     # opacity get the fine march; the rest keep their coarse result (their
     # composited weight is ~0 anyway). 1.0 = march all rays (reference
@@ -577,7 +584,26 @@ class KeypointNeRF(nn.Module):
             alpha = alpha_m.reshape(Rn, c.n_coarse)
             sdf = sdf_m.reshape(Rn, c.n_coarse)
             rgb = rgb_m.reshape(Rn, c.n_coarse, 3)
-        coarse = composite(alpha, sdf, rgb, z)
+
+        # fused composite + importance kernel (eval): one VMEM-resident
+        # pass produces the coarse outputs AND the fine depths
+        use_pc = (not train) and c.use_pallas_composite and fine
+        if use_pc:
+            from ..geometry.compositing import CompositeOut
+            from ..ops.pallas import composite_importance_pallas
+
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, c.n_fine, dtype=z.dtype),
+                (Rn, c.n_fine),
+            )
+            pc_color, pc_depth, pc_acc, pc_sdf, pc_contrib, z_fine = (
+                composite_importance_pallas(
+                    z, alpha, sdf, rgb, u, interpret=c.pallas_interpret
+                )
+            )
+            coarse = CompositeOut(pc_color, pc_depth, pc_acc, pc_contrib, pc_sdf)
+        else:
+            coarse = composite(alpha, sdf, rgb, z)
 
         out = {
             "rgb_coarse": coarse.color,
@@ -587,10 +613,14 @@ class KeypointNeRF(nn.Module):
         if not fine:
             return out
 
-        # importance resampling over interior bins (reference model.py:1072-1076)
-        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
-        contrib = jax.lax.stop_gradient(coarse.contrib[..., 1:-1])
-        z_fine = importance_z(k_imp, contrib, z_mid, c.n_fine, uniform=not train)
+        if not use_pc:
+            # importance resampling over interior bins (reference
+            # model.py:1072-1076)
+            z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+            contrib = jax.lax.stop_gradient(coarse.contrib[..., 1:-1])
+            z_fine = importance_z(
+                k_imp, contrib, z_mid, c.n_fine, uniform=not train
+            )
         z_all = union_sorted_z(z, z_fine)                          # (R, Sc+Sf)
         n_all = c.n_coarse + c.n_fine
 

@@ -31,7 +31,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_R = 256   # rays per grid step
+# rays per grid step: the unrolled n_fine importance loop keeps several
+# (T, S-1) intermediates live at once; 64 rays fits the 16 MB scoped-VMEM
+# limit (256 measured 28.76M on v5e)
+TILE_R = 64
 _BIG = 1e30
 _LOG_FLOOR = -80.0  # exp(-80) ~ 1.8e-35: an effective zero transmittance
 

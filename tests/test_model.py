@@ -311,3 +311,29 @@ def test_dma_gather_render_parity_interpret():
     np.testing.assert_allclose(
         np.asarray(b["rgb_fine"]), np.asarray(a["rgb_fine"]), atol=1e-5
     )
+
+
+def test_pallas_composite_render_parity_interpret():
+    """cfg.use_pallas_composite must closely reproduce the XLA
+    composite+importance eval render (interpret mode on CPU; sub-bin cdf
+    rounding differences only)."""
+    import dataclasses
+
+    base = KeypointNeRFConfig(
+        n_coarse=8, n_fine=8, patch_h=4, patch_w=4, geo_n_downsample=2,
+    )
+    vb = tiny_batch(size=32)
+    model_a = KeypointNeRF(base)
+    params = model_a.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    model_b = KeypointNeRF(
+        dataclasses.replace(base, use_pallas_composite=True, pallas_interpret=True)
+    )
+    a = render_image(model_a, params, vb, height=8, width=8, chunk=32)
+    b = render_image(model_b, params, vb, height=8, width=8, chunk=32)
+    np.testing.assert_allclose(
+        np.asarray(b["rgb_coarse"]), np.asarray(a["rgb_coarse"]), atol=1e-4
+    )
+    d = np.abs(np.asarray(b["rgb_fine"]) - np.asarray(a["rgb_fine"]))
+    assert float(d.max()) < 5e-3 and float(d.mean()) < 2e-4, (d.max(), d.mean())
