@@ -55,7 +55,13 @@ def _deconv2x(out_ch, kernel=3, use_bias=True, dtype=None):
     """2x upsampling transposed conv, exactly torch
     ConvTranspose2d(k=3, s=2, p=1, output_padding=1): lo/hi padding
     (k-1-p, k-1-p+op) = (1, 2) on the dilated input, flipped kernel
-    (transpose_kernel=True; param layout (kh, kw, out, in))."""
+    (transpose_kernel=True; param layout (kh, kw, out, in)).
+
+    With the transposed layout the input-channel axis is LAST, so the
+    fan axes are passed explicitly — he_normal()'s default (in_axis=-2)
+    would compute fan-in from the output channels and inflate the init
+    std by sqrt(in/out) on every 2x-up deconv (in=2*out here), which
+    measurably destabilizes early training."""
     return nn.ConvTranspose(
         out_ch,
         (kernel, kernel),
@@ -63,7 +69,7 @@ def _deconv2x(out_ch, kernel=3, use_bias=True, dtype=None):
         padding=((1, 2), (1, 2)),
         transpose_kernel=True,
         use_bias=use_bias,
-        kernel_init=he_normal(),
+        kernel_init=he_normal(in_axis=-1, out_axis=-2),
         bias_init=zeros,
         dtype=dtype,
     )

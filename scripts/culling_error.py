@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--scenes", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument(
+        "--ckpt", default=None,
+        help="run dir with config.json + ckpts/ — measure on TRAINED params "
+        "(a random-init model underestimates the visual cost of culling)",
+    )
     args = ap.parse_args()
 
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
@@ -42,9 +47,21 @@ def main():
     from keypointnerf_tpu.render import render_image
 
     cdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    # strict reference semantics: all rays coarse+fine, full union re-eval
-    strict_cfg = KeypointNeRFConfig(
-        compute_dtype=cdt, fused_feature_map=False,
+    base_cfg = KeypointNeRFConfig()
+    trained = None
+    if args.ckpt:
+        # build the model with the ckpt run's own architecture
+        run_cfg = json.load(open(os.path.join(args.ckpt, "config.json")))
+        md = dict(run_cfg["model"])
+        md["compute_dtype"] = "f32"  # overridden per-variant below
+        from keypointnerf_tpu.utils.config import _build
+        base_cfg = _build(KeypointNeRFConfig, md)
+    # strict reference semantics: all rays coarse+fine at the reference's
+    # 64+64 sample counts, full union re-eval (sample counts are a render-
+    # time choice — params from a 16+16-trained run evaluate fine at 64+64)
+    strict_cfg = dataclasses.replace(
+        base_cfg, compute_dtype=cdt, fused_feature_map=False,
+        n_coarse=64, n_fine=64,
         fine_topk_ratio=1.0, coarse_topk_ratio=1.0, reuse_coarse_eval=False,
     )
     variants = {
@@ -68,10 +85,28 @@ def main():
         with jax.default_device(cpu):
             vb_cpu = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
             strict_model = KeypointNeRF(strict_cfg)
-            params = jax.jit(strict_model.init, static_argnums=2)(
-                {"params": jax.random.key(7), "render": jax.random.key(8)},
-                vb_cpu, True,
-            )
+            if args.ckpt:
+                if trained is None:
+                    from keypointnerf_tpu.training import OptimConfig, create_train_state
+                    from keypointnerf_tpu.utils import CheckpointManager
+
+                    # the run's own optimizer config — the opt_state tree
+                    # structure (e.g. schedule state) must match the ckpt
+                    state = create_train_state(
+                        strict_model, vb_cpu,
+                        _build(OptimConfig, run_cfg.get("optim", {})),
+                    )
+                    mgr = CheckpointManager(os.path.join(args.ckpt, "ckpts"))
+                    state, step = mgr.restore(state)
+                    assert state is not None, f"no ckpt in {args.ckpt}"
+                    print(f"# trained params from step {step}", flush=True)
+                    trained = state.params
+                params = trained
+            else:
+                params = jax.jit(strict_model.init, static_argnums=2)(
+                    {"params": jax.random.key(7), "render": jax.random.key(8)},
+                    vb_cpu, True,
+                )
         params = jax.device_put(params, dev)
         vb = jax.device_put(vb_cpu, dev)
 
