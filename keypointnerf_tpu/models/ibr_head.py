@@ -18,8 +18,40 @@ import flax.linen as nn
 from jax.nn.initializers import he_normal, zeros, constant
 
 
-def _dense(feats, dtype=None):
-    return nn.Dense(feats, kernel_init=he_normal(), bias_init=zeros, dtype=dtype)
+def _dense(feats, dtype=None, name=None):
+    return nn.Dense(
+        feats, kernel_init=he_normal(), bias_init=zeros, dtype=dtype, name=name
+    )
+
+
+class _SplitDense(nn.Module):
+    """nn.Dense with the identical param tree (kernel/bias, he_normal init)
+    that takes a TUPLE of inputs and folds their concatenation into the
+    contraction: dot(concat(xs), W) == sum_i dot(x_i, W_i) over row-blocks
+    of W. Two wins on TPU: the wide concat input is never materialized in
+    HBM, and parts with a broadcast leading dim (e.g. the (1, N, C)
+    cross-view mean/var) are contracted BEFORE broadcasting to (V, N, C) —
+    1/V of the matmul FLOPs for those parts."""
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, xs):
+        in_features = sum(a.shape[-1] for a in xs)
+        kernel = self.param("kernel", he_normal(), (in_features, self.features))
+        bias = self.param("bias", zeros, (self.features,))
+        k = kernel.astype(self.dtype) if self.dtype is not None else kernel
+        out = None
+        off = 0
+        for a in xs:
+            if self.dtype is not None:
+                a = a.astype(self.dtype)
+            wi = k[off : off + a.shape[-1]]
+            off += a.shape[-1]
+            d = jnp.dot(a, wi)
+            out = d if out is None else out + d
+        return out + bias.astype(out.dtype)
 
 
 def weighted_mean_var(x, w, axis=0):
@@ -49,14 +81,16 @@ class IBRRenderingHead(nn.Module):
         Returns:
           (N, 3) blended colors.
         """
-        V = rgb_feats.shape[0]
         width = self.in_feat_ch + 3
 
         ani_al = self.param("ani_al", constant(0.2), ())
 
-        dir_feat = _dense(16, self.dtype)(ray_diffs)
+        # all Dense modules are explicitly named to keep the param tree
+        # identical to the original nn.Dense auto-numbering (Dense_0..10) —
+        # checkpoints and the torch importer depend on those paths
+        dir_feat = _dense(16, self.dtype, name="Dense_0")(ray_diffs)
         dir_feat = nn.elu(dir_feat)
-        dir_feat = _dense(width, self.dtype)(dir_feat)
+        dir_feat = _dense(width, self.dtype, name="Dense_1")(dir_feat)
         dir_feat = nn.elu(dir_feat)
 
         src_rgb = rgb_feats[..., :3]
@@ -69,27 +103,39 @@ class IBRRenderingHead(nn.Module):
         w = (exp_dot - jnp.min(exp_dot, axis=0, keepdims=True)) * proj_mask
         w = w / (jnp.sum(w, axis=0, keepdims=True) + 1e-8)
 
-        mean, var = weighted_mean_var(feats, w, axis=0)
-        fused = jnp.concatenate([mean, var], axis=-1)       # (1, N, 2*width)
-        fused = jnp.broadcast_to(fused, (V,) + fused.shape[1:])
+        mean, var = weighted_mean_var(feats, w, axis=0)     # (1, N, width) x2
+        # concat([mean, var, feats]) folded into the Dense_2 contraction —
+        # the mean/var parts contract at (1, N, .) and broadcast after
+        x = nn.elu(_SplitDense(64, self.dtype, name="Dense_2")((mean, var, feats)))
+        x = nn.elu(_dense(32, self.dtype, name="Dense_3")(x))
 
-        x = jnp.concatenate([fused, feats], axis=-1)        # (V, N, 3*width)
-        x = nn.elu(_dense(64, self.dtype)(x))
-        x = nn.elu(_dense(32, self.dtype)(x))
-
-        pred = nn.elu(_dense(33, self.dtype)(nn.elu(_dense(32, self.dtype)(x * w))))
+        # NOTE: the original code built these denses inline in nested
+        # expressions, so Flax numbered them in CONSTRUCTION order (outer
+        # call first) — e.g. Dense_4 is the 33-wide layer applied AFTER
+        # Dense_5. The explicit names below reproduce that historical
+        # numbering exactly.
+        pred = nn.elu(
+            _dense(33, self.dtype, name="Dense_4")(
+                nn.elu(_dense(32, self.dtype, name="Dense_5")(x * w))
+            )
+        )
         res, vis = pred[..., :-1], pred[..., -1:]
         x = x + res
         vis = nn.sigmoid(
-            _dense(1, self.dtype)(
-                nn.elu(_dense(32, self.dtype)(x * nn.sigmoid(vis) * proj_mask))
+            _dense(1, self.dtype, name="Dense_6")(
+                nn.elu(
+                    _dense(32, self.dtype, name="Dense_7")(
+                        x * nn.sigmoid(vis) * proj_mask
+                    )
+                )
             )
         )
         vis = vis * proj_mask
 
-        x = jnp.concatenate([x, vis, ray_diffs], axis=-1)   # (V, N, 32+1+4)
-        x = _dense(1, self.dtype)(
-            nn.elu(_dense(8, self.dtype)(nn.elu(_dense(16, self.dtype)(x))))
+        # concat([x, vis, ray_diffs]) folded into the Dense_10 contraction
+        x = _SplitDense(16, self.dtype, name="Dense_10")((x, vis, ray_diffs))
+        x = _dense(1, self.dtype, name="Dense_8")(
+            nn.elu(_dense(8, self.dtype, name="Dense_9")(nn.elu(x)))
         )
         logits = jnp.where(proj_mask == 0.0, -1e9, x.astype(jnp.float32))
         blend = nn.softmax(logits, axis=0)

@@ -284,9 +284,13 @@ class KeypointNeRF(nn.Module):
             up_tex = multiview_bilinear_sample(feat_tex, xy).reshape(
                 src_images.shape[0], H, W, -1
             )
+            # keep the packed map in the compute dtype: the CNN already ran
+            # in it, and the upsample's f32 interpolation weights would
+            # otherwise promote the concat to f32 — doubling the HBM bytes
+            # of every per-point patch gather downstream (the #1 render cost)
             fused = jnp.concatenate(
                 [
-                    up_coarse,
+                    up_coarse.astype(feat_geo[1].dtype),
                     feat_geo[1],
                     up_tex.astype(feat_geo[1].dtype),
                     src_images.astype(feat_geo[1].dtype),

@@ -17,8 +17,16 @@ from jax.nn.initializers import he_normal, zeros
 
 def softplus100(x):
     """Softplus with beta=100 (reference src/utils.py:524): effectively a
-    smooth ReLU with a very tight knee. jnp.logaddexp is overflow-safe."""
-    return jnp.logaddexp(100.0 * x, 0.0) / 100.0
+    smooth ReLU with a very tight knee.
+
+    Computed via the overflow-safe identity
+    softplus(y) = max(y, 0) + log1p(exp(-|y|)): same math as
+    jnp.logaddexp(y, 0) but skips logaddexp's generic two-operand
+    max/select plumbing — the activation runs on the VPU over every
+    (view, point, channel) element of the geometry MLP, where it is one
+    of the largest non-gather costs of the render."""
+    y = 100.0 * x
+    return (jnp.maximum(y, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(y)))) * 0.01
 
 
 _NL: dict[str, Optional[Callable]] = {
@@ -47,6 +55,14 @@ class WNDense(nn.Module):
     `weight_norm` with dim=0, i.e. one gain per output unit; reference
     src/utils.py:543). `g` is initialized to sqrt(2) so the initial
     effective std approximates He-normal fan-in init.
+
+    `x` may also be a tuple/list of arrays whose channel widths sum to
+    the layer's input width. The concatenation is folded into the
+    contraction — dot(concat(xs), W) == sum_i dot(x_i, W_i) with W_i
+    row-blocks of W — so the wide concat input is never materialized in
+    HBM (XLA cannot fuse a concatenate into a dot operand; on TPU the
+    (V, N, 168)-style skip concats otherwise cost a full write+read of
+    HBM traffic per layer). Param shapes are identical either way.
     """
 
     features: int
@@ -55,7 +71,8 @@ class WNDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
+        xs = x if isinstance(x, (list, tuple)) else (x,)
+        in_features = sum(a.shape[-1] for a in xs)
         v = self.param("kernel", he_normal(), (in_features, self.features))
         b = self.param("bias", zeros, (self.features,))
         if self.use_wn:
@@ -68,9 +85,16 @@ class WNDense(nn.Module):
         else:
             w = v
         if self.dtype is not None:
-            x = x.astype(self.dtype)
+            xs = tuple(a.astype(self.dtype) for a in xs)
             w = w.astype(self.dtype)
-        return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        out = None
+        off = 0
+        for a in xs:
+            wi = w[off : off + a.shape[-1]]
+            off += a.shape[-1]
+            d = jnp.dot(a, wi, preferred_element_type=jnp.float32)
+            out = d if out is None else out + d
+        return out + b
 
 
 class MLP(nn.Module):
@@ -91,7 +115,7 @@ class MLP(nn.Module):
         n = len(self.dims) - 1
         for i in range(n):
             if i in self.skip_layers:
-                x = jnp.concatenate([x, x0], axis=-1)
+                x = (x, x0)  # folded into the next contraction (no concat)
             last = i == n - 1
             x = WNDense(self.dims[i + 1], use_wn=self.weight_norm and not last,
                         dtype=self.dtype)(x)
@@ -122,7 +146,8 @@ class MLPUNet(nn.Module):
         for i in range(n):
             if i in skip_idx:
                 f = feats[skip_idx[i]]
-                x = f if x is None else jnp.concatenate([x, f], axis=-1)
+                # feature injection folds into the contraction (no concat)
+                x = f if x is None else (x, f)
             last = i == n - 1
             x = WNDense(self.dims[i + 1], use_wn=self.weight_norm and not last,
                         dtype=self.dtype)(x)

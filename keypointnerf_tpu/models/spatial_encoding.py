@@ -42,12 +42,23 @@ def spatial_encoding_dim(cfg: SpatialEncodingConfig) -> int:
     return 0
 
 
-def positional_encoding(x, n_levels, scale=1.0):
+def positional_encoding(x, n_levels, scale=1.0, weight=None):
     """[x, sin(pi x), cos(pi x), sin(2 pi x), cos(2 pi x), ...].
 
     Matches reference src/spatial.py:23-47: output layout is x followed by
     level-major (sin_block, cos_block) pairs, i.e. viewed as
-    (..., 1 + 2 L, C) groups — the decay weighting below relies on this.
+    (..., 1 + 2 L, C) groups.
+
+    TPU implementation notes:
+      * The octave frequencies are exact powers of two, so levels > 0 come
+        from the double-angle recursion sin 2y = 2 sin y cos y,
+        cos 2y = 1 - 2 sin^2 y — two transcendentals total instead of 2 L
+        (the sin/cos evaluations were ~7% of render time at L = 3).
+      * `weight` (..., C), when given, multiplies x and every sin/cos block
+        (the rel_z_decay Gaussian). Applying it per block here keeps the
+        multiply inside the sin-chain fusion; the reference's equivalent
+        post-hoc (..., 1 + 2 L, C) broadcast multiply materializes a full
+        extra copy of the encoding in HBM.
 
     Args:
       x: (..., C).
@@ -55,12 +66,18 @@ def positional_encoding(x, n_levels, scale=1.0):
       (..., (1 + 2 * n_levels) * C).
     """
     if n_levels <= 0:
-        return x
-    freqs = scale * np.pi * (2.0 ** np.arange(n_levels))  # (L,)
-    y = x[..., None, :] * jnp.asarray(freqs, x.dtype)[:, None]  # (..., L, C)
-    z = jnp.concatenate([jnp.sin(y), jnp.cos(y)], axis=-1)  # (..., L, 2C)
-    z = z.reshape(*x.shape[:-1], -1)
-    return jnp.concatenate([x, z], axis=-1)
+        return x if weight is None else x * weight
+    w = weight
+    wx = x if w is None else x * w
+    y = (scale * np.pi) * x
+    s, c = jnp.sin(y), jnp.cos(y)
+    blocks = [wx]
+    for lvl in range(n_levels):
+        if lvl:
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s  # sin/cos of doubled angle
+        blocks.append(s if w is None else s * w)
+        blocks.append(c if w is None else c * w)
+    return jnp.concatenate(blocks, axis=-1)
 
 
 def spatial_encode(
@@ -104,11 +121,12 @@ def spatial_encode(
         return positional_encoding(dz, L)
     if t == "rel_z_decay":
         dz = s * (pts_cam[:, :, None, 2] - kpt_cam[:, None, :, 2])  # (V, N, K)
-        pe = positional_encoding(dz, L)  # (V, N, (1+2L) K), group layout (1+2L, K)
         dxyz = pts_cam[:, :, None, :] - kpt_cam[:, None, :, :]  # (V, N, K, 3)
         w = jnp.exp(-jnp.sum(dxyz * dxyz, -1) / (2.0 * cfg.sigma**2))  # (V, N, K)
-        pe = pe.reshape(*pe.shape[:-1], 1 + 2 * L, cfg.n_kpt) * w[..., None, :]
-        return pe.reshape(*pe.shape[:-2], -1)
+        # Gaussian decay applied per sin/cos block inside the encoding —
+        # identical to the reference's (1+2L, K)-grouped broadcast multiply
+        # (src/spatial.py:101-113) without materializing the extra copy
+        return positional_encoding(dz, L, weight=w)
     if t == "rel_cxyz":
         d = s * (pts_cam[:, :, None, :] - kpt_cam[:, None, :, :])  # (V, N, K, 3)
         return positional_encoding(d.reshape(V, d.shape[1], -1), L)
