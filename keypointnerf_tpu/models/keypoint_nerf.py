@@ -161,6 +161,14 @@ class KeypointNeRFConfig:
     # the eval query is deterministic); disable to force the reference's
     # full re-evaluation of all union depths
     reuse_coarse_eval: bool = True
+    # inference fast-path: run the geometry MLP's softplus100 activation as
+    # a plain relu. softplus with beta=100 (reference src/utils.py:524)
+    # differs from relu by at most log(2)/100 ~= 0.007 (decaying to <1e-4
+    # for |x| > 0.09) — below bf16 activation resolution at unit magnitude —
+    # while the transcendental chain is one of the largest VPU costs of the
+    # render. Intended for EVAL configs on softplus-trained params; leave
+    # False for training (the smooth knee matters for gradients near 0).
+    nl_relu_approx: bool = False
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -230,12 +238,15 @@ class KeypointNeRF(nn.Module):
                 "use_pallas_geo_mlp supports only the default mean/var pooling"
                 f" (pool_mode={c.pool_mode!r})"
             )
+        nl = c.mlp_nl
+        if c.nl_relu_approx and nl == "softplus":
+            nl = "relu"
         self.mlp_geo = GeoFusionMLP(
             dims1=dims1,
             dims2=dims2,
             skip_dims=(c.geo_out_ch, c.geo_out_ch_hd),
             skip_layers=tuple(c.mlp_skip_layers),
-            nl_layer=c.mlp_nl,
+            nl_layer=nl,
             pool_types=tuple(c.pool_types),
             pool_mode=c.pool_mode,
             dtype=dt,

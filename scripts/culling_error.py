@@ -69,9 +69,10 @@ def main():
         "fused_map": dataclasses.replace(strict_cfg, fused_feature_map=True),
         "fine_cull_0.5": dataclasses.replace(strict_cfg, fine_topk_ratio=0.5),
         "coarse_cull_0.5": dataclasses.replace(strict_cfg, coarse_topk_ratio=0.5),
+        "relu_approx": dataclasses.replace(strict_cfg, nl_relu_approx=True),
         "fast_all": dataclasses.replace(
             strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
-            fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
+            fine_topk_ratio=0.5, coarse_topk_ratio=0.5, nl_relu_approx=True,
         ),
     }
 

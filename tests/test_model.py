@@ -213,6 +213,22 @@ def test_fast_path_combination_close_to_default(model_and_params):
 
 
 @pytest.mark.slow
+def test_nl_relu_approx_close_to_softplus(model_and_params):
+    """The relu fast-path activation must track softplus100 closely: the
+    two differ by at most log(2)/100 per pre-activation (reference
+    src/utils.py:524 beta=100)."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    relu_m = KeypointNeRF(dataclasses.replace(TINY, nl_relu_approx=True))
+    a = render_image(model, params, vb, height=64, width=64, stride=4, chunk=128)
+    b = render_image(relu_m, params, vb, height=64, width=64, stride=4, chunk=128)
+    assert np.all(np.isfinite(b["rgb_fine"]))
+    d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
+    assert float(d.mean()) < 0.02, float(d.mean())
+
+
+@pytest.mark.slow
 def test_coarse_cull_close_to_full(model_and_params):
     """Coarse AABB-hit culling: box rays match the full render; miss rays
     composite to empty space."""
