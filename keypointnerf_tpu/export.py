@@ -1,0 +1,89 @@
+"""Model export for production serving (AOT/StableHLO).
+
+The reference has no deployment story beyond pickled Lightning
+checkpoints (src/model.py:113-117). For TPU serving the natural artifact
+is a serialized StableHLO program: `jax.export` captures the jitted
+render function (lowered once, shape- and dtype-checked at call time) so
+a serving binary can run it without the Python model definition, and a
+later JAX version can reload it (forward-compatibility guarantees of the
+StableHLO serialization format).
+
+Exported signature (flat arrays only — no custom pytree nodes, so the
+artifact deserializes in any consumer without registering this package's
+dataclasses):
+
+    serve(params, src_images, src_masks, src_K, src_R, src_t,
+          kpt3d, bounds, tar_K, R, t) -> (H, W, 3) rgb
+
+Source-view encoding runs inside the program; for many-camera orbits of
+the same subject prefer `render.video.render_orbit` (encode-once) — the
+export trades that caching for a self-contained single-call artifact.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .models.keypoint_nerf import KeypointNeRF, ViewBatch
+from .geometry.cameras import camera_rays, pixel_grid
+from .render.renderer import render_rays_chunked
+
+
+def make_serving_fn(model: KeypointNeRF, height: int, width: int, chunk: int = 4096):
+    """A self-contained (params, views, camera) -> rgb image function."""
+    cfg = model.cfg
+    pix = pixel_grid(height, width).astype(jnp.float32)
+
+    def serve(params, src_images, src_masks, src_K, src_R, src_t,
+              kpt3d, bounds, tar_K, R, t):
+        vb = ViewBatch(
+            src_images=src_images, src_masks=src_masks,
+            src_K=src_K, src_R=src_R, src_t=src_t,
+            # target image/mask are training-only; render_rays never reads
+            # them, but ViewBatch is a fixed pytree so fill with (1,1) zeros
+            tar_image=jnp.zeros((1, 1, 3), src_images.dtype),
+            tar_mask=jnp.zeros((1, 1, 1), src_masks.dtype),
+            tar_K=tar_K, tar_R=R, tar_t=t,
+            kpt3d=kpt3d, bounds=bounds,
+        )
+        feats = model.apply(params, src_images, src_masks, method=KeypointNeRF.encode)
+        origin, dirs, near, far = camera_rays(pix, tar_K, R, t, cfg.znear, cfg.zfar)
+        out = render_rays_chunked(
+            model, params, feats, vb, origin, dirs, near, far, chunk=chunk
+        )
+        return out["rgb_fine"].reshape(height, width, 3)
+
+    return serve
+
+
+def export_render(
+    model: KeypointNeRF,
+    params,
+    example_args,
+    *,
+    height: int,
+    width: int,
+    chunk: int = 4096,
+    platforms=("cpu", "tpu"),
+) -> bytes:
+    """Serialize the jitted serving function to portable StableHLO bytes.
+
+    `example_args` is the flat tuple (src_images, src_masks, src_K, src_R,
+    src_t, kpt3d, bounds, tar_K, R, t) — only shapes/dtypes are captured.
+    """
+    serve = make_serving_fn(model, height, width, chunk)
+    spec = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+    arg_specs = (jax.tree.map(spec, params),) + tuple(spec(a) for a in example_args)
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*arg_specs)
+    return exported.serialize()
+
+
+def load_render(data: bytes):
+    """Deserialize an exported render program into a callable.
+
+    The callable takes the same (params, *flat_args) as the exported
+    function and runs on whatever platform jax is configured for (among
+    the platforms baked into the artifact).
+    """
+    return jax_export.deserialize(data).call

@@ -39,7 +39,11 @@ SP_TILE_N = 256
 
 
 def softplus100(x):
-    return jnp.logaddexp(100.0 * x, 0.0) / 100.0
+    # identical formulation to models/mlp.py:softplus100 (max + log1p of
+    # exp(-|y|)) so forward values AND custom-VJP gradients agree with the
+    # Flax path to rounding error, not just mathematically
+    y = 100.0 * x
+    return (jnp.maximum(y, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(y)))) * 0.01
 
 
 def fold_weight_norm(params) -> Tuple[jnp.ndarray, ...]:
