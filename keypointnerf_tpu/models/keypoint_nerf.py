@@ -169,6 +169,17 @@ class KeypointNeRFConfig:
     # render. Intended for EVAL configs on softplus-trained params; leave
     # False for training (the smooth knee matters for gradients near 0).
     nl_relu_approx: bool = False
+    # inference fast-path: epipolar feature lerp. The fused-map gather is
+    # index-rate-bound on TPU (~21 ns/patch regardless of payload; see
+    # docs/PERF.md "the gather floor"), so the only lever is fewer
+    # indices: gather features at every 2nd depth sample (+ the last),
+    # and reconstruct the skipped samples by lerping the two neighboring
+    # gathered features parametrically along the projected epipolar
+    # segment. Adjacent samples project ~1-2 px apart at 512^2, so the
+    # secant error is small; evens and the final sample stay exact.
+    # Cuts gather indices ~1.94x in both marches. Eval-only, fused-map
+    # path only; off = exact reference lookups.
+    gather_lerp: bool = False
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -205,6 +216,42 @@ class ViewBatch:
     tar_t: jnp.ndarray        # (3,)
     kpt3d: jnp.ndarray        # (Kp, 3) 3D body keypoints (world)
     bounds: jnp.ndarray       # (2, 3) AABB [min, max]
+
+
+def _strided_gather_lerp(fmap, xy, n_samples):
+    """Gather the fused feature map at every 2nd depth sample (+ the last)
+    and reconstruct the skipped samples by lerping the two neighboring
+    gathered features parametrically along the projected segment.
+
+    The gather is index-rate-bound (docs/PERF.md), so halving the index
+    count halves the dominant render cost; even samples and the final
+    sample remain exact bilinear lookups. `xy` is (V, R*S, 2) ray-major.
+    Returns (V, R*S, C) matching `multiview_bilinear_sample(fmap, xy)` up
+    to the secant approximation at odd interior samples.
+    """
+    V, N, _ = xy.shape
+    S = n_samples
+    R = N // S
+    G = S // 2 + 1
+    xyr = xy.reshape(V, R, S, 2)
+    # anchors = even samples + the last sample
+    xa = jnp.concatenate([xyr[:, :, ::2, :], xyr[:, :, -1:, :]], axis=2)
+    F = multiview_bilinear_sample(fmap, xa.reshape(V, R * G, 2))
+    F = F.reshape(V, R, G, -1)
+    A, B = F[:, :, :-1, :], F[:, :, 1:, :]           # (V, R, S/2, C)
+    # interleave WITHOUT gathers: left[2k]=left[2k+1]=A[k];
+    # right[2k]=A[k] (t=0 there), right[2k+1]=B[k]
+    left = jnp.repeat(A, 2, axis=2)                   # (V, R, S, C)
+    right = jnp.stack([A, B], axis=3).reshape(V, R, S, -1)
+    xa_l, xa_r = xa[:, :, :-1, :], xa[:, :, 1:, :]
+    xl = jnp.repeat(xa_l, 2, axis=2)                  # (V, R, S, 2)
+    xr = jnp.stack([xa_l, xa_r], axis=3).reshape(V, R, S, 2)
+    seg = xr - xl
+    t = jnp.sum((xyr - xl) * seg, -1, keepdims=True) / (
+        jnp.sum(seg * seg, -1, keepdims=True) + 1e-12
+    )
+    t = jnp.clip(t, 0.0, 1.0).astype(left.dtype)
+    return (left + t * (right - left)).reshape(V, N, -1)
 
 
 class KeypointNeRF(nn.Module):
@@ -369,6 +416,11 @@ class KeypointNeRF(nn.Module):
         feat_coarse = feat_xy = None
         if "fused" in feats:
             dma = c.use_dma_gather and not train and not self.is_initializing()
+            lerp = (
+                c.gather_lerp and not train and not dma
+                and n_samples >= 4 and n_samples % 2 == 0
+                and N % n_samples == 0
+            )
             if dma:
                 from ..ops.feat_sample import multiview_bilinear_sample_dma
 
@@ -376,6 +428,8 @@ class KeypointNeRF(nn.Module):
                     feats["fused"], xy.astype(jnp.float32),
                     interpret=c.pallas_interpret,
                 )  # (V, N, 84 [+pad])
+            elif lerp:
+                fx = _strided_gather_lerp(feats["fused"], xy, n_samples)
             else:
                 fx = multiview_bilinear_sample(feats["fused"], xy)  # (V, N, 84)
             feat_coarse = fx[..., :co_ch]

@@ -353,3 +353,49 @@ def test_pallas_composite_render_parity_interpret():
     )
     d = np.abs(np.asarray(b["rgb_fine"]) - np.asarray(a["rgb_fine"]))
     assert float(d.max()) < 5e-3 and float(d.mean()) < 2e-4, (d.max(), d.mean())
+
+
+def test_strided_gather_lerp_exact_on_linear_map():
+    """Closed form: on a feature map that is LINEAR in (x, y), a bilinear
+    lookup is linear too, so the epipolar secant reconstruction of odd
+    samples is EXACT — for any sample spacing along any segment."""
+    from keypointnerf_tpu.models.keypoint_nerf import _strided_gather_lerp
+    from keypointnerf_tpu.ops.feat_sample import multiview_bilinear_sample
+
+    V, H, W, C = 2, 33, 33, 4
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    chans = [xs, ys, 2.0 * xs - ys, 0.25 * xs + 3.0]
+    fmap = jnp.broadcast_to(jnp.stack(chans, -1)[None], (V, H, W, C))
+
+    R, S = 3, 8
+    rng = np.random.default_rng(0)
+    # rays = straight segments in NDC with monotone, uneven sample spacing
+    p0 = rng.uniform(-0.8, 0.0, (V, R, 2))
+    p1 = rng.uniform(0.0, 0.8, (V, R, 2))
+    frac = np.sort(rng.uniform(0, 1, (V, R, S)), axis=-1)
+    xy = p0[:, :, None, :] + frac[..., None] * (p1 - p0)[:, :, None, :]
+    xy = jnp.asarray(xy.reshape(V, R * S, 2), jnp.float32)
+
+    exact = multiview_bilinear_sample(fmap, xy)
+    approx = _strided_gather_lerp(fmap, xy, S)
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_gather_lerp_close_to_exact_render(model_and_params):
+    """cfg.gather_lerp (epipolar feature lerp at odd depth samples) must
+    track the exact fused-map render closely."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    fused = KeypointNeRF(dataclasses.replace(TINY, fused_feature_map=True))
+    lerp = KeypointNeRF(dataclasses.replace(
+        TINY, fused_feature_map=True, gather_lerp=True
+    ))
+    a = render_image(fused, params, vb, height=64, width=64, stride=4, chunk=128)
+    b = render_image(lerp, params, vb, height=64, width=64, stride=4, chunk=128)
+    assert np.all(np.isfinite(b["rgb_fine"]))
+    d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
+    assert float(d.mean()) < 0.03, float(d.mean())
