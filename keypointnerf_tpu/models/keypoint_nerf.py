@@ -51,7 +51,10 @@ from ..geometry.cameras import (
 )
 from ..geometry.compositing import composite
 from ..geometry.sampling import importance_z, stratified_z, union_sorted_z
-from ..ops.feat_sample import multiview_bilinear_sample
+from ..ops.feat_sample import (
+    multiview_bilinear_sample,
+    multiview_bilinear_sample_mm,
+)
 from .cnn import HGFilter, ResBlkEncoder
 from .ibr_head import IBRRenderingHead
 from .mlp import GeoFusionMLP
@@ -180,6 +183,12 @@ class KeypointNeRFConfig:
     # Cuts gather indices ~1.94x in both marches. Eval-only, fused-map
     # path only; off = exact reference lookups.
     gather_lerp: bool = False
+    # training-path: compute the bilinear-gather backward (dL/dmap) with
+    # dense one-hot matmuls on the MXU instead of XLA's scatter-add, which
+    # measures ~4.6 us/index on v5e vs 0.2 us/index for the forward
+    # gather (22x; see docs/PERF.md). Exact same gradient, f32-accumulated.
+    # Forward path is unchanged, so eval cost is identical.
+    train_matmul_gather_vjp: bool = False
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -336,10 +345,15 @@ class KeypointNeRF(nn.Module):
                 axis=-1,
             )
             xy = jnp.broadcast_to(xy[None], (src_images.shape[0],) + xy.shape)
-            up_coarse = multiview_bilinear_sample(feat_geo[0], xy).reshape(
+            mvbs = (
+                multiview_bilinear_sample_mm
+                if self.cfg.train_matmul_gather_vjp
+                else multiview_bilinear_sample
+            )
+            up_coarse = mvbs(feat_geo[0], xy).reshape(
                 src_images.shape[0], H, W, -1
             )
-            up_tex = multiview_bilinear_sample(feat_tex, xy).reshape(
+            up_tex = mvbs(feat_tex, xy).reshape(
                 src_images.shape[0], H, W, -1
             )
             # keep the packed map in the compute dtype: the CNN already ran
@@ -414,6 +428,11 @@ class KeypointNeRF(nn.Module):
         co_ch = c.geo_out_ch
         tx_ch = c.tex_out_ch
         feat_coarse = feat_xy = None
+        mvbs = (
+            multiview_bilinear_sample_mm
+            if c.train_matmul_gather_vjp
+            else multiview_bilinear_sample
+        )
         if "fused" in feats:
             dma = c.use_dma_gather and not train and not self.is_initializing()
             lerp = (
@@ -431,7 +450,7 @@ class KeypointNeRF(nn.Module):
             elif lerp:
                 fx = _strided_gather_lerp(feats["fused"], xy, n_samples)
             else:
-                fx = multiview_bilinear_sample(feats["fused"], xy)  # (V, N, 84)
+                fx = mvbs(feats["fused"], xy)  # (V, N, 84)
             feat_coarse = fx[..., :co_ch]
             feat_hd = fx[..., co_ch : co_ch + hd_ch]
             feat_xy = fx[..., co_ch + hd_ch : co_ch + hd_ch + tx_ch]
@@ -439,12 +458,12 @@ class KeypointNeRF(nn.Module):
             img_xy = fx[..., base : base + 3]
             fg = fx[..., base + 3 : base + 4]  # exactly 1 ch (map may be lane-padded)
         elif "full" in feats:
-            full_xy = multiview_bilinear_sample(feats["full"], xy)  # (V, N, 12)
+            full_xy = mvbs(feats["full"], xy)  # (V, N, 12)
             feat_hd = full_xy[..., :hd_ch]
             img_xy = full_xy[..., hd_ch : hd_ch + 3]
             fg = full_xy[..., hd_ch + 3 : hd_ch + 4]
         else:
-            feat_hd = multiview_bilinear_sample(feats["geo"][1], xy)
+            feat_hd = mvbs(feats["geo"][1], xy)
             img_xy = multiview_bilinear_sample(vb.src_images, xy)
             fg = multiview_bilinear_sample(vb.src_masks, xy)
 
@@ -479,9 +498,9 @@ class KeypointNeRF(nn.Module):
         # pixel-aligned features (reference model.py:761-769); already
         # fetched above when the fused map is in play
         if feat_coarse is None:
-            feat_coarse = multiview_bilinear_sample(feats["geo"][0], xy)  # (V, N, 64)
+            feat_coarse = mvbs(feats["geo"][0], xy)  # (V, N, 64)
         if feat_xy is None:
-            feat_xy = multiview_bilinear_sample(feats["tex"], xy)         # (V, N, 8)
+            feat_xy = mvbs(feats["tex"], xy)         # (V, N, 8)
 
         # relative spatial encoding (reference model.py:771-775 → spatial.py)
         pts_cam = world_to_cam(pts[None], vb.src_R, vb.src_t)    # (V, N, 3)

@@ -83,6 +83,119 @@ def multiview_bilinear_sample(feats, xy_ndc):
     return jax.vmap(bilinear_sample)(feats, xy_ndc)
 
 
+def _bilinear_coords(xy_ndc, H, W):
+    """Shared coordinate/weight computation of `bilinear_sample`:
+    returns (x0, y0, wx, wy, in_x, in_y) with border-clamp semantics."""
+    x = (xy_ndc[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (xy_ndc[..., 1] + 1.0) * 0.5 * (H - 1)
+    in_x = (x >= 0.0) & (x <= W - 1.0)   # clamp kills the coord gradient
+    in_y = (y >= 0.0) & (y <= H - 1.0)
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.minimum(jnp.floor(x), W - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(y), H - 2).astype(jnp.int32)
+    return x0, y0, x - x0, y - y0, in_x, in_y
+
+
+@jax.custom_vjp
+def bilinear_sample_mm(feat, xy_ndc):
+    """`bilinear_sample` with a matmul-based backward for the map gradient.
+
+    XLA:TPU lowers the gather backward to a scatter-add that runs at
+    ~4.6 us/index on v5e — 22x slower than the forward gather (measured;
+    docs/PERF.md). This variant keeps the identical forward but computes
+    dL/dmap as two dense one-hot contractions on the MXU instead: the
+    bilinear corner weights factor into row/column one-hots
+    Y (N, H) and X (N, W), so
+
+        dmap[y, x, c] = sum_n Y[n, y] * X[n, x] * g[n, c]
+                      = Y^T @ (X[:, :, None] * g[:, None, :])
+
+    — N*H*W*C MACs of dense batched work in place of 4N serialized
+    scatter indices. Exact (same clamp semantics as the forward,
+    f32 accumulation). Coordinate gradients are exact too, with the
+    border clamp zeroing them outside [-1, 1] like torch grid_sample.
+    """
+    return bilinear_sample(feat, xy_ndc)
+
+
+def _bilinear_mm_fwd(feat, xy_ndc):
+    return bilinear_sample(feat, xy_ndc), (feat, xy_ndc)
+
+
+def _bilinear_mm_bwd(res, g):
+    feat, xy_ndc = res
+    H, W, C = feat.shape
+    x0, y0, wx, wy, in_x, in_y = _bilinear_coords(xy_ndc, H, W)
+
+    # --- coordinate gradient (needs the corner patches: one re-gather) ---
+    starts = jnp.stack([y0, x0], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    P = jax.lax.gather(
+        feat, starts, dn, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).astype(jnp.float32)                                   # (N, 2, 2, C)
+    gf = g.astype(jnp.float32)
+    wxc = jnp.stack([1.0 - wx, wx], axis=-1)                # (N, 2)
+    wyc = jnp.stack([1.0 - wy, wy], axis=-1)                # (N, 2)
+    # d out / d x = sum_i wy_i (P[i,1] - P[i,0]); chain to NDC and clamp
+    dPx = jnp.einsum("ni,nic->nc", wyc, P[:, :, 1] - P[:, :, 0])
+    dPy = jnp.einsum("nj,njc->nc", wxc, P[:, 1] - P[:, 0])
+    dx = jnp.sum(gf * dPx, -1) * (0.5 * (W - 1)) * in_x
+    dy = jnp.sum(gf * dPy, -1) * (0.5 * (H - 1)) * in_y
+    dxy = jnp.stack([dx, dy], axis=-1).astype(xy_ndc.dtype)
+
+    # --- map gradient: chunked one-hot matmuls, f32 accumulator ---
+    N = xy_ndc.shape[0]
+    chunk = min(N, max(256, 2 ** 20 // max(W, 1)))  # ~1-4k rows typical
+    n_pad = (-N) % chunk
+    pad = lambda a: jnp.concatenate(
+        [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)]
+    ) if n_pad else a
+    # padded rows get zero cotangent -> contribute nothing
+    gp = pad(gf).reshape(-1, chunk, C)
+    x0p = pad(x0).reshape(-1, chunk)
+    y0p = pad(y0).reshape(-1, chunk)
+    wxp = pad(wx).reshape(-1, chunk)
+    wyp = pad(wy).reshape(-1, chunk)
+    cols = jnp.arange(W, dtype=jnp.int32)
+    rows = jnp.arange(H, dtype=jnp.int32)
+
+    def body(acc, args):
+        gc, x0c, y0c, wxc_, wyc_ = args
+        Xh = (cols[None] == x0c[:, None]) * (1.0 - wxc_[:, None]) + (
+            cols[None] == (x0c + 1)[:, None]
+        ) * wxc_[:, None]                                   # (Nc, W) f32
+        Yh = (rows[None] == y0c[:, None]) * (1.0 - wyc_[:, None]) + (
+            rows[None] == (y0c + 1)[:, None]
+        ) * wyc_[:, None]                                   # (Nc, H) f32
+        dt = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
+        G2 = (Xh[:, :, None] * gc[:, None, :]).astype(dt)   # (Nc, W, C)
+        acc = acc + jax.lax.dot_general(
+            Yh.astype(dt).T, G2.reshape(chunk, W * C),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(H, W, C)
+        return acc, None
+
+    dmap, _ = jax.lax.scan(
+        body, jnp.zeros((H, W, C), jnp.float32), (gp, x0p, y0p, wxp, wyp)
+    )
+    return dmap.astype(feat.dtype), dxy
+
+
+bilinear_sample_mm.defvjp(_bilinear_mm_fwd, _bilinear_mm_bwd)
+
+
+def multiview_bilinear_sample_mm(feats, xy_ndc):
+    """`multiview_bilinear_sample` with the matmul backward (see
+    `bilinear_sample_mm`) — the training-path gather when
+    `cfg.train_matmul_gather_vjp` is on."""
+    return jax.vmap(bilinear_sample_mm)(feats, xy_ndc)
+
+
 def multiview_bilinear_sample_dma(feats, xy_ndc, interpret=False):
     """DMA-pipelined Pallas variant of multiview_bilinear_sample.
 

@@ -99,3 +99,52 @@ def test_lr_schedules():
 
     with _pytest.raises(ValueError):
         make_lr(OptimConfig(lr_schedule="nope", warmup_steps=1))
+
+
+def test_matmul_gather_vjp_train_grads_match():
+    """cfg.train_matmul_gather_vjp swaps the gather backward for one-hot
+    matmuls; full train-step gradients must match the scatter path."""
+    import dataclasses
+
+    from keypointnerf_tpu.training.losses import compute_losses as cl
+
+    vb = tiny_batch()
+    rngs = {"params": jax.random.key(0), "render": jax.random.key(1)}
+    m_ref = KeypointNeRF(TINY)
+    m_mm = KeypointNeRF(dataclasses.replace(TINY, train_matmul_gather_vjp=True))
+    params = m_ref.init(rngs, vb, True)
+
+    def loss(model, p):
+        out = model.apply(p, vb, True, rngs={"render": jax.random.key(2)})
+        return cl(out, LossConfig(), None)[0]
+
+    g_ref = jax.grad(lambda p: loss(m_ref, p))(params)
+    g_mm = jax.grad(lambda p: loss(m_mm, p))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_matmul_gather_vjp_train_grads_match_fused():
+    """Same, with the fused feature map on (exercises the encode-time
+    upsample backward too)."""
+    import dataclasses
+
+    from keypointnerf_tpu.training.losses import compute_losses as cl
+
+    vb = tiny_batch()
+    rngs = {"params": jax.random.key(0), "render": jax.random.key(1)}
+    base = dataclasses.replace(TINY, fused_feature_map=True)
+    m_ref = KeypointNeRF(base)
+    m_mm = KeypointNeRF(dataclasses.replace(base, train_matmul_gather_vjp=True))
+    params = m_ref.init(rngs, vb, True)
+
+    def loss(model, p):
+        out = model.apply(p, vb, True, rngs={"render": jax.random.key(2)})
+        return cl(out, LossConfig(), None)[0]
+
+    g_ref = jax.grad(lambda p: loss(m_ref, p))(params)
+    g_mm = jax.grad(lambda p: loss(m_mm, p))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
