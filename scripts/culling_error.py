@@ -74,6 +74,14 @@ def main():
             strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
             fine_topk_ratio=0.5, coarse_topk_ratio=0.5, nl_relu_approx=True,
         ),
+        # epipolar feature lerp (requires the fused map)
+        "gather_lerp": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, gather_lerp=True,
+        ),
+        "fast_all_lerp": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
+        ),
     }
 
     dev = jax.devices()[0]
