@@ -183,6 +183,12 @@ class KeypointNeRFConfig:
     # Cuts gather indices ~1.94x in both marches. Eval-only, fused-map
     # path only; off = exact reference lookups.
     gather_lerp: bool = False
+    # anchor stride for gather_lerp: gather every k-th depth sample (plus
+    # the last) and lerp the rest. 2 keeps adjacent-sample secant error
+    # (~1-2 px segments at 512^2); larger strides cut the index count
+    # further (S/k+1 anchors) at growing secant error — quantify with
+    # scripts/culling_error.py before shipping a stride > 2.
+    gather_lerp_stride: int = 2
     # training-path: compute the bilinear-gather backward (dL/dmap) with
     # dense one-hot matmuls on the MXU instead of XLA's scatter-add, which
     # measures ~4.6 us/index on v5e vs 0.2 us/index for the forward
@@ -227,34 +233,36 @@ class ViewBatch:
     bounds: jnp.ndarray       # (2, 3) AABB [min, max]
 
 
-def _strided_gather_lerp(fmap, xy, n_samples):
-    """Gather the fused feature map at every 2nd depth sample (+ the last)
-    and reconstruct the skipped samples by lerping the two neighboring
+def _strided_gather_lerp(fmap, xy, n_samples, stride=2):
+    """Gather the fused feature map at every `stride`-th depth sample (+ the
+    last) and reconstruct the skipped samples by lerping the two neighboring
     gathered features parametrically along the projected segment.
 
-    The gather is index-rate-bound (docs/PERF.md), so halving the index
-    count halves the dominant render cost; even samples and the final
-    sample remain exact bilinear lookups. `xy` is (V, R*S, 2) ray-major.
-    Returns (V, R*S, C) matching `multiview_bilinear_sample(fmap, xy)` up
-    to the secant approximation at odd interior samples.
+    The gather is index-rate-bound (docs/PERF.md), so cutting the index
+    count by ~stride cuts the dominant render cost; anchor samples remain
+    exact bilinear lookups (the parametric t is exactly 0 there). `xy` is
+    (V, R*S, 2) ray-major. Returns (V, R*S, C) matching
+    `multiview_bilinear_sample(fmap, xy)` up to the secant approximation
+    at non-anchor samples.
     """
     V, N, _ = xy.shape
     S = n_samples
     R = N // S
-    G = S // 2 + 1
+    k = stride
     xyr = xy.reshape(V, R, S, 2)
-    # anchors = even samples + the last sample
-    xa = jnp.concatenate([xyr[:, :, ::2, :], xyr[:, :, -1:, :]], axis=2)
+    # anchors = every k-th sample + the last sample
+    xa = jnp.concatenate([xyr[:, :, ::k, :], xyr[:, :, -1:, :]], axis=2)
+    G = xa.shape[2]
     F = multiview_bilinear_sample(fmap, xa.reshape(V, R * G, 2))
     F = F.reshape(V, R, G, -1)
-    A, B = F[:, :, :-1, :], F[:, :, 1:, :]           # (V, R, S/2, C)
-    # interleave WITHOUT gathers: left[2k]=left[2k+1]=A[k];
-    # right[2k]=A[k] (t=0 there), right[2k+1]=B[k]
-    left = jnp.repeat(A, 2, axis=2)                   # (V, R, S, C)
-    right = jnp.stack([A, B], axis=3).reshape(V, R, S, -1)
-    xa_l, xa_r = xa[:, :, :-1, :], xa[:, :, 1:, :]
-    xl = jnp.repeat(xa_l, 2, axis=2)                  # (V, R, S, 2)
-    xr = jnp.stack([xa_l, xa_r], axis=3).reshape(V, R, S, 2)
+    A, B = F[:, :, :-1, :], F[:, :, 1:, :]            # (V, R, G-1, C)
+    # sample s lerps inside segment s//k, WITHOUT gathers: repeat each
+    # segment endpoint k times ((G-1)*k >= S, slice to S). At anchors
+    # xyr == xl so t == 0 and the exact gathered value passes through.
+    left = jnp.repeat(A, k, axis=2)[:, :, :S]          # (V, R, S, C)
+    right = jnp.repeat(B, k, axis=2)[:, :, :S]
+    xl = jnp.repeat(xa[:, :, :-1, :], k, axis=2)[:, :, :S]
+    xr = jnp.repeat(xa[:, :, 1:, :], k, axis=2)[:, :, :S]
     seg = xr - xl
     t = jnp.sum((xyr - xl) * seg, -1, keepdims=True) / (
         jnp.sum(seg * seg, -1, keepdims=True) + 1e-12
@@ -437,7 +445,7 @@ class KeypointNeRF(nn.Module):
             dma = c.use_dma_gather and not train and not self.is_initializing()
             lerp = (
                 c.gather_lerp and not train and not dma
-                and n_samples >= 4 and n_samples % 2 == 0
+                and n_samples > c.gather_lerp_stride >= 2
                 and N % n_samples == 0
             )
             if dma:
@@ -448,7 +456,9 @@ class KeypointNeRF(nn.Module):
                     interpret=c.pallas_interpret,
                 )  # (V, N, 84 [+pad])
             elif lerp:
-                fx = _strided_gather_lerp(feats["fused"], xy, n_samples)
+                fx = _strided_gather_lerp(
+                    feats["fused"], xy, n_samples, c.gather_lerp_stride
+                )
             else:
                 fx = mvbs(feats["fused"], xy)  # (V, N, 84)
             feat_coarse = fx[..., :co_ch]

@@ -378,9 +378,10 @@ def test_strided_gather_lerp_exact_on_linear_map():
     xy = jnp.asarray(xy.reshape(V, R * S, 2), jnp.float32)
 
     exact = multiview_bilinear_sample(fmap, xy)
-    approx = _strided_gather_lerp(fmap, xy, S)
-    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
-                               rtol=1e-5, atol=1e-4)
+    for stride in (2, 3, 4, 7):  # incl. strides that don't divide S
+        approx = _strided_gather_lerp(fmap, xy, S, stride)
+        np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"k={stride}")
 
 
 @pytest.mark.slow
