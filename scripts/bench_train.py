@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Train-step throughput benchmark (rays/s) on the current backend.
+
+Measures the COMPLETE optimizer step — forward, loss, backward,
+`global_norm` metric, Adam update — as one jitted lax.scan of K steps,
+exactly the program `training/train.py:train_step_fn` runs, at a
+configurable ray/sample shape.
+
+Relay-awareness (docs/PERF.md, memory/axon-relay-quirks): on the axon
+TPU relay every program OUTPUT buffer is fetched to the host
+individually, so a program returning the updated TrainState measures
+transfer, not compute (~18-40 s/call for ~300 leaves vs 0.195 s device
+time at the probe shape). This benchmark therefore reduces all outputs
+to scalars (final loss + a parameter checksum that keeps the update
+live), varies the inputs every timed call (identical repeats are
+pipelined/memoized by the relay), and subtracts the scalar round-trip
+floor.
+
+Reference hot path being measured: /root/reference/src/model.py:416-424
+(training_step) over batch_render_pifu_nerf (942-1108).
+
+Usage:
+  python scripts/bench_train.py [--rays 1024] [--samples 32] [--k 4]
+                                [--dtype bf16] [--no_mm_vjp]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1024, help="rays per step (patch = sqrt(rays)^2)")
+    ap.add_argument("--samples", type=int, default=32, help="coarse = fine sample count")
+    ap.add_argument("--k", type=int, default=4, help="steps per timed scan")
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--no_mm_vjp", action="store_true",
+                    help="use XLA's scatter-add gather backward instead of the matmul VJP")
+    args = ap.parse_args()
+
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+    from keypointnerf_tpu.training import OptimConfig, create_train_state
+    from keypointnerf_tpu.training.losses import LossConfig, compute_losses
+
+    side = int(args.rays ** 0.5)
+    assert side * side == args.rays, "--rays must be a square (patch geometry)"
+    cfg = KeypointNeRFConfig(
+        patch_h=side, patch_w=side, n_coarse=args.samples, n_fine=args.samples,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        train_matmul_gather_vjp=not args.no_mm_vjp,
+    )
+    sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+        model = KeypointNeRF(cfg)
+        state = create_train_state(model, vb, OptimConfig())
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    vb = jax.device_put(vb, dev)
+    loss_cfg = LossConfig()
+
+    K = args.k
+
+    @jax.jit
+    def run_k(state, vb, seed):
+        def body(s, k):
+            rng = jax.random.fold_in(jax.random.key(0), k + seed)
+
+            def loss_fn(p):
+                out = model.apply(p, vb, True, rngs={"render": rng})
+                return compute_losses(out, loss_cfg, s.vgg_params)
+
+            (total, _err), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+            return s.apply_gradients(grads=grads), total
+        fin, losses = jax.lax.scan(body, state, jnp.arange(K))
+        # checksum keeps the parameter update live under DCE while the
+        # program still returns only two scalars (relay-safe)
+        chk = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(fin.params))
+        return losses[-1], chk
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    zeros = jax.device_put(jnp.zeros(8), dev)
+    float(trivial(zeros))
+
+    t0 = time.time()
+    l, _ = run_k(state, vb, jnp.asarray(0))
+    l = float(l)
+    compile_s = time.time() - t0
+    print(f"# compile+first {compile_s:.1f}s loss={l:.4f}", file=sys.stderr)
+
+    # timed call: fresh inputs, round-trip floor subtracted
+    vb2 = dataclasses.replace(vb, src_images=vb.src_images + jnp.float32(1e-7))
+    float(trivial(zeros))
+    t0 = time.time()
+    float(trivial(zeros))
+    rt = time.time() - t0
+    t0 = time.time()
+    l, _ = run_k(state, vb2, jnp.asarray(1000))
+    l = float(l)
+    dt = max(time.time() - t0 - rt, 1e-9) / K
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(args.rays / dt, 1),
+        "unit": "rays/s",
+        "s_per_step": round(dt, 4),
+        "rays": args.rays,
+        "samples": args.samples,
+        "dtype": args.dtype,
+        "matmul_gather_vjp": not args.no_mm_vjp,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
