@@ -6,7 +6,8 @@ ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Three measurements (VERDICT r1 items 4 & 10):
   * value                — fast path at 256x256 (bf16, fused feature map,
-                           coarse/fine ray culling, coarse-value reuse).
+                           coarse/fine ray culling, coarse-value reuse,
+                           stride-2 epipolar gather-lerp).
                            Headline; comparable to the round-1 baseline.
   * strict_rays_per_sec  — strict reference semantics at 256x256: every
                            ray marched coarse+fine, full 128-depth union
@@ -65,6 +66,9 @@ def main():
     fast_cfg = KeypointNeRFConfig(
         compute_dtype=jnp.bfloat16, fused_feature_map=True,
         fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
+        gather_lerp=True,  # epipolar feature lerp, stride 2: halves the
+        # gather index count — the binding resource (docs/PERF.md); GT
+        # quality delta +0.02 dB on trained params (README culling table)
     )
     # strict reference semantics: march every ray, re-evaluate the full
     # coarse+fine union, exact per-map bilinear lookups, softplus100

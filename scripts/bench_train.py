@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--no_mm_vjp", action="store_true",
                     help="use XLA's scatter-add gather backward instead of the matmul VJP")
+    ap.add_argument("--fused", action="store_true",
+                    help="train with the single fused feature map (the zju.json recipe)")
     args = ap.parse_args()
 
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
@@ -60,6 +62,7 @@ def main():
         patch_h=side, patch_w=side, n_coarse=args.samples, n_fine=args.samples,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         train_matmul_gather_vjp=not args.no_mm_vjp,
+        fused_feature_map=args.fused,
     )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
     cpu = jax.devices("cpu")[0]
@@ -123,6 +126,7 @@ def main():
         "samples": args.samples,
         "dtype": args.dtype,
         "matmul_gather_vjp": not args.no_mm_vjp,
+        "fused_feature_map": args.fused,
         "backend": jax.devices()[0].platform,
     }))
 

@@ -86,6 +86,11 @@ def main():
             strict_cfg, fused_feature_map=True, gather_lerp=True,
             gather_lerp_stride=4,
         ),
+        "fast_all_lerp_s4": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
+            gather_lerp_stride=4,
+        ),
     }
 
     dev = jax.devices()[0]
