@@ -92,6 +92,11 @@ def create_train_state(
     rng = jax.random.key(seed)
     k_param, k_render = jax.random.split(rng)
     params = model.init({"params": k_param, "render": k_render}, sample_vb, True)
+    # commit every leaf to a device buffer: eager init can leave scalar
+    # params (e.g. ibr_head/ani_al from a constant initializer) as
+    # uncommitted jax literals, which orbax refuses to serialize if the
+    # state is checkpointed before a jitted step has rebuilt it
+    params = jax.device_put(params)
     return TrainState.create(
         apply_fn=model.apply,
         params=params,

@@ -49,6 +49,8 @@ def main():
                     help="use XLA's scatter-add gather backward instead of the matmul VJP")
     ap.add_argument("--fused", action="store_true",
                     help="train with the single fused feature map (the zju.json recipe)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the point query in the backward pass")
     args = ap.parse_args()
 
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
@@ -63,6 +65,7 @@ def main():
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         train_matmul_gather_vjp=not args.no_mm_vjp,
         fused_feature_map=args.fused,
+        remat=args.remat,
     )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
     cpu = jax.devices("cpu")[0]
@@ -127,6 +130,7 @@ def main():
         "dtype": args.dtype,
         "matmul_gather_vjp": not args.no_mm_vjp,
         "fused_feature_map": args.fused,
+        "remat": args.remat,
         "backend": jax.devices()[0].platform,
     }))
 
