@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--image_size", type=int, default=512)
     ap.add_argument("--fused", action="store_true",
                     help="train with the fused feature map")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the point query in backward")
+    ap.add_argument("--no_mm_vjp", action="store_true",
+                    help="XLA scatter-add gather backward instead of matmul VJP")
     ap.add_argument("--logdir", default="/tmp/jaxtrace_train")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -47,6 +51,7 @@ def main():
         patch_h=args.patch, patch_w=args.patch,
         n_coarse=args.samples, n_fine=args.samples,
         compute_dtype=jnp.bfloat16, fused_feature_map=args.fused,
+        remat=args.remat, train_matmul_gather_vjp=not args.no_mm_vjp,
     )
     sample = make_sample(
         SyntheticConfig(image_size=args.image_size, n_views=4), seed=0
