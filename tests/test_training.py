@@ -148,3 +148,29 @@ def test_matmul_gather_vjp_train_grads_match_fused():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_shipped_recipe_remat_mm_vjp_grads_match():
+    """The zju.json training recipe (remat + matmul gather VJP together)
+    must produce the same gradients as the plain path — remat recomputes,
+    the mm VJP re-derives, neither may change values."""
+    import dataclasses
+
+    from keypointnerf_tpu.training.losses import compute_losses as cl
+
+    vb = tiny_batch()
+    rngs = {"params": jax.random.key(0), "render": jax.random.key(1)}
+    m_ref = KeypointNeRF(TINY)
+    m_rcp = KeypointNeRF(dataclasses.replace(
+        TINY, remat=True, train_matmul_gather_vjp=True))
+    params = m_ref.init(rngs, vb, True)
+
+    def loss(model, p):
+        out = model.apply(p, vb, True, rngs={"render": jax.random.key(2)})
+        return cl(out, LossConfig(), None)[0]
+
+    g_ref = jax.grad(lambda p: loss(m_ref, p))(params)
+    g_rcp = jax.grad(lambda p: loss(m_rcp, p))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_rcp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
