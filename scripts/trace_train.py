@@ -43,7 +43,6 @@ def main():
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
     from keypointnerf_tpu.training import OptimConfig, create_train_state
-    from keypointnerf_tpu.training.train import jit_train_step
     from keypointnerf_tpu.training.losses import LossConfig
     from keypointnerf_tpu.utils.profiling import trace as trace_cm
 
@@ -65,13 +64,24 @@ def main():
     state = jax.device_put(state, dev)
     vb = jax.device_put(vb, dev)
 
-    step_fn = jit_train_step(model, LossConfig())
-    state, m = step_fn(state, vb, jax.random.key(0))  # compile + warm
-    print(f"warm loss={float(m['e_all']):.4f}", flush=True)
+    # scalar outputs only: through the axon relay a program returning the
+    # TrainState pays per-buffer host fetches (~300 leaves) AND compiles
+    # far slower — the full-output variant never finished in 40 min while
+    # this one compiles in minutes (docs/PERF.md relay rules)
+    from keypointnerf_tpu.training.train import train_step_fn
+
+    @jax.jit
+    def step_scalar(state, vb, rng):
+        new_state, m = train_step_fn(model, LossConfig(), state, vb, rng)
+        chk = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_state.params))
+        return m["e_all"], chk
+
+    loss0, _ = step_scalar(state, vb, jax.random.key(0))  # compile + warm
+    print(f"warm loss={float(loss0):.4f}", flush=True)
 
     with trace_cm(args.logdir):
-        state, m = step_fn(state, vb, jax.random.key(1))
-        float(m["e_all"])  # sync inside the trace window
+        loss1, _ = step_scalar(state, vb, jax.random.key(1))
+        float(loss1)  # sync inside the trace window
 
     per_op, total = parse_trace(args.logdir)
     print(f"# device op total: {total:.4f} s "
