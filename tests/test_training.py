@@ -174,3 +174,13 @@ def test_shipped_recipe_remat_mm_vjp_grads_match():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_rcp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_create_train_state_leaves_are_device_arrays():
+    """Init params must be materialized device arrays (ArrayImpl), never
+    jax literals (TypedNdArray) — orbax refuses to serialize literals if a
+    checkpoint is written before the first jitted step rebuilds the state."""
+    vb = tiny_batch()
+    state = create_train_state(KeypointNeRF(TINY), vb, OptimConfig())
+    for leaf in jax.tree.leaves(state.params):
+        assert type(leaf).__name__ == "ArrayImpl", type(leaf)
