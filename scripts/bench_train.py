@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Train-step throughput benchmark (rays/s) on the current backend.
 
-Measures the COMPLETE optimizer step — forward, loss, backward,
-`global_norm` metric, Adam update — as one jitted lax.scan of K steps,
-exactly the program `training/train.py:train_step_fn` runs, at a
-configurable ray/sample shape.
+Measures the COMPLETE optimizer step — forward, full loss incl. the
+0.5*VGG perceptual term (random frozen VGG features, as train.py without
+configured weights), backward, `global_norm` metric, Adam update — as one
+jitted lax.scan of K steps, matching the program
+`training/train.py:train_step_fn` runs, at a configurable ray/sample
+shape. `--no_vgg` drops the VGG term for the bare-model figure.
 
 Relay-awareness (docs/PERF.md, memory/axon-relay-quirks): on the axon
 TPU relay every program OUTPUT buffer is fetched to the host
@@ -48,10 +50,27 @@ def main():
     ap.add_argument("--no_mm_vjp", action="store_true",
                     help="use XLA's scatter-add gather backward instead of the matmul VJP")
     ap.add_argument("--fused", action="store_true",
-                    help="train with the single fused feature map (the zju.json recipe)")
+                    help="train with the single fused feature map (a render-time "
+                         "win; 3.1x SLOWER than the shipped per-map+remat train "
+                         "recipe — see docs/PERF.md recipe matrix)")
+    ap.add_argument("--no_vgg", action="store_true",
+                    help="drop the VGG perceptual term (lambda_vgg=0) instead of "
+                         "the shipped objective's 0.5*VGG (random frozen VGG "
+                         "features when no weights are configured, as train.py)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the point query in the backward pass")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin overrides "
+                         "JAX_PLATFORMS; this re-applies it after import)")
+    ap.add_argument("--image_size", type=int, default=512,
+                    help="source-view resolution (512 = the ZJU geometry; "
+                         "lower it for CPU smoke runs — the conv encoders "
+                         "dominate off-TPU)")
+    ap.add_argument("--views", type=int, default=4,
+                    help="views per sample (1 target + N-1 sources)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
@@ -67,16 +86,26 @@ def main():
         fused_feature_map=args.fused,
         remat=args.remat,
     )
-    sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
+    sample = make_sample(
+        SyntheticConfig(image_size=args.image_size, n_views=args.views), seed=0
+    )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
         model = KeypointNeRF(cfg)
-        state = create_train_state(model, vb, OptimConfig())
+        vgg_params = None
+        if not args.no_vgg:
+            # the shipped objective includes 0.5*VGG (reference
+            # configs/zju.json:111); train.py falls back to random frozen
+            # VGG features when no weights are configured — same cost
+            from keypointnerf_tpu.models.vgg import init_vgg_params
+
+            vgg_params = init_vgg_params()
+        state = create_train_state(model, vb, OptimConfig(), vgg_params=vgg_params)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     vb = jax.device_put(vb, dev)
-    loss_cfg = LossConfig()
+    loss_cfg = LossConfig() if not args.no_vgg else LossConfig(lambda_vgg=0.0)
 
     K = args.k
 
@@ -90,7 +119,11 @@ def main():
                 return compute_losses(out, loss_cfg, s.vgg_params)
 
             (total, _err), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
-            return s.apply_gradients(grads=grads), total
+            import optax
+
+            gn = optax.global_norm(grads)  # train_step_fn logs this too
+            # 1e-30 (not 0.0) so XLA can't constant-fold the norm away
+            return s.apply_gradients(grads=grads), total + 1e-30 * gn
         fin, losses = jax.lax.scan(body, state, jnp.arange(K))
         # checksum keeps the parameter update live under DCE while the
         # program still returns only two scalars (relay-safe)
@@ -127,10 +160,13 @@ def main():
         "s_per_step": round(dt, 4),
         "rays": args.rays,
         "samples": args.samples,
+        "image_size": args.image_size,
+        "views": args.views,
         "dtype": args.dtype,
         "matmul_gather_vjp": not args.no_mm_vjp,
         "fused_feature_map": args.fused,
         "remat": args.remat,
+        "vgg_term": not args.no_vgg,
         "backend": jax.devices()[0].platform,
     }))
 

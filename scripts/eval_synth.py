@@ -68,6 +68,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, fused_feature_map=False, gather_lerp=False,
             fine_topk_ratio=1.0, coarse_topk_ratio=1.0,
+            nl_relu_approx=False, use_dma_gather=False,
+            use_pallas_geo_mlp=False, use_pallas_composite=False,
         )
         model = KeypointNeRF(cfg)
         probe = make_sample(SyntheticConfig(image_size=args.size, n_views=4), seed=0)
@@ -78,7 +80,9 @@ def main():
             state, step = CheckpointManager(os.path.join(run, "ckpts")).restore(state)
             assert state is not None, f"no checkpoint under {run}"
         params = jax.device_put(state.params, dev)
-        name = os.path.basename(os.path.normpath(run))
+        # key rows by the full normalized path: two run dirs sharing a
+        # basename (out_f32/run1 vs out_bf16/run1) must not collide
+        name = os.path.normpath(run)
         for split, seeds in splits.items():
             ps, ss = [], []
             for seed in seeds:
@@ -102,7 +106,7 @@ def main():
     print("\n| run | step | seen PSNR/SSIM | unseen PSNR/SSIM |")
     print("|---|---|---|---|")
     for run in args.runs:
-        name = os.path.basename(os.path.normpath(run))
+        name = os.path.normpath(run)
         rs = {r["split"]: r for r in summary if r["run"] == name}
         print(f"| {name} | {rs['seen']['step']} "
               f"| {rs['seen']['psnr']:.2f} / {rs['seen']['ssim']:.4f} "
