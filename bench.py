@@ -39,6 +39,48 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+
+def _wait_for_axon_relay():
+    """Poll the local axon relay before initializing jax.
+
+    The relay (this container's only path to the TPU) occasionally goes
+    hard down — every port refuses and ``jax.devices()`` hangs for
+    minutes before erroring. When the environment says the axon backend
+    will be used, probe its loopback ports and wait (bounded, default
+    30 min, override via BENCH_RELAY_WAIT_SECS) for one to accept a
+    connection, so a transient relay outage at measurement time doesn't
+    turn into a lost benchmark.
+    """
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    import socket
+    import sys
+
+    def up():
+        for port in (8082, 8093, 8081):
+            try:
+                with socket.create_connection(("127.0.0.1", port), timeout=3):
+                    return True
+            except OSError:
+                pass
+        return False
+
+    deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT_SECS", "1800"))
+    waited = False
+    while not up():
+        if time.time() > deadline:
+            print("bench: axon relay still unreachable; proceeding "
+                  "(jax init will fail loudly)", file=sys.stderr)
+            return
+        waited = True
+        print("bench: axon relay down, retrying in 60s...", file=sys.stderr)
+        time.sleep(60)
+    if waited:
+        print("bench: axon relay is back", file=sys.stderr)
+
+
+_wait_for_axon_relay()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
