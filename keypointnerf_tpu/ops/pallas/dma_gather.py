@@ -108,7 +108,7 @@ def dma_bilinear_sample(feat, xy_ndc, interpret=False):
         _kernel,
         grid=(n_total // TILE,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
