@@ -10,9 +10,11 @@ Three measurements (VERDICT r1 items 4 & 10):
                            stride-2 epipolar gather-lerp).
                            Headline; comparable to the round-1 baseline.
   * strict_rays_per_sec  — strict reference semantics at 256x256: every
-                           ray marched coarse+fine, full 128-depth union
-                           re-evaluated, no fused map approximation
-                           (reference src/model.py:942-1108).
+                           ray marched coarse+fine, the full 128-depth
+                           union composited, no fused map approximation
+                           (reference src/model.py:942-1108). The exact
+                           coarse-value-reuse merge is on (identical
+                           outputs; see strict_cfg comment).
   * rays_per_sec_512     — fast path at the reference's eval resolution
                            512x512 (src/model.py:897-940).
 
@@ -112,11 +114,17 @@ def main():
         # gather index count — the binding resource (docs/PERF.md); GT
         # quality delta +0.02 dB on trained params (README culling table)
     )
-    # strict reference semantics: march every ray, re-evaluate the full
-    # coarse+fine union, exact per-map bilinear lookups, softplus100
+    # strict reference semantics: march every ray, composite the full
+    # 128-depth coarse+fine union, exact per-map bilinear lookups,
+    # softplus100. reuse_coarse_eval stays ON: the model is pointwise, so
+    # merging the already-computed coarse values into the union instead of
+    # re-evaluating them yields identical outputs up to f32 reassociation
+    # (test_model.py:test_reuse_coarse_eval_exact, atol 3e-5) — an exact
+    # implementation optimization, not a semantics change. (gather_lerp is
+    # inert here: it only applies to the fused feature map.)
     strict_cfg = dataclasses.replace(
         fast_cfg, fused_feature_map=False, nl_relu_approx=False,
-        fine_topk_ratio=1.0, coarse_topk_ratio=1.0, reuse_coarse_eval=False,
+        fine_topk_ratio=1.0, coarse_topk_ratio=1.0,
     )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 
