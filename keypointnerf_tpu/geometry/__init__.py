@@ -10,7 +10,12 @@ from .cameras import (
     camera_rays,
 )
 from .aabb import ray_aabb_intersection, rays_at_box_mask
-from .sampling import stratified_z, importance_z, union_sorted_z
+from .sampling import (
+    stratified_z,
+    importance_z,
+    union_sorted_z,
+    merge_sorted_payloads,
+)
 from .compositing import composite
 
 __all__ = [
@@ -28,5 +33,6 @@ __all__ = [
     "stratified_z",
     "importance_z",
     "union_sorted_z",
+    "merge_sorted_payloads",
     "composite",
 ]

@@ -110,3 +110,48 @@ def union_sorted_z(z_coarse, z_fine):
     """Sorted union of coarse and fine depths per ray
     (reference src/model.py:1076)."""
     return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)
+
+
+def merge_sorted_payloads(z_a, z_b, v_a, v_b):
+    """Stable merge of two per-ray SORTED depth arrays with payload channels.
+
+    Bitwise-equivalent to
+    ``jax.lax.sort((concat([z_a, z_b]), *payloads), num_keys=1)`` when both
+    inputs are already sorted along the last axis — which the eval renderer
+    guarantees: coarse depths are monotone stratified bins and eval fine
+    depths come from inverse-CDF interpolation of increasing uniform u.
+    A TPU bitonic payload sort runs O(S log^2 S) compare-exchange stages over
+    every payload column; merging instead computes each element's final
+    position with one dense comparison count (VPU) and applies the resulting
+    permutation as a single one-hot contraction (MXU):
+
+      pos_a[i] = i + #{ z_b < z_a[i] }   (strict: ties keep a-before-b,
+      pos_b[j] = j + #{ z_a <= z_b[j] }   matching stable-sort concat order)
+
+    The cross counts can never collide, so `pos` is a permutation; a 0/1
+    one-hot matmul in f32 moves each payload row exactly (products are exact
+    and each output sums one nonzero term).
+
+    Args:
+      z_a: (..., Sa) sorted depths.
+      z_b: (..., Sb) sorted depths.
+      v_a: (..., Sa, C) payload channels for z_a.
+      v_b: (..., Sb, C) payload channels for z_b.
+    Returns:
+      (z (..., Sa+Sb), v (..., Sa+Sb, C)) merged in ascending z.
+    """
+    Sa, Sb = z_a.shape[-1], z_b.shape[-1]
+    S = Sa + Sb
+    pos_a = jnp.arange(Sa, dtype=jnp.int32) + jnp.sum(
+        (z_b[..., None, :] < z_a[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_b = jnp.arange(Sb, dtype=jnp.int32) + jnp.sum(
+        (z_a[..., None, :] <= z_b[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    pos = jnp.concatenate([pos_a, pos_b], axis=-1)              # (..., S)
+    z = jnp.concatenate([z_a, z_b], axis=-1)
+    v = jnp.concatenate([v_a, v_b], axis=-2)                    # (..., S, C)
+    onehot = (pos[..., :, None] == jnp.arange(S)).astype(jnp.float32)
+    vz = jnp.concatenate([z[..., None].astype(jnp.float32), v.astype(jnp.float32)], -1)
+    out = jnp.einsum("...is,...ic->...sc", onehot, vz)
+    return out[..., 0], out[..., 1:]

@@ -50,7 +50,12 @@ from ..geometry.cameras import (
     world_to_cam,
 )
 from ..geometry.compositing import composite
-from ..geometry.sampling import importance_z, stratified_z, union_sorted_z
+from ..geometry.sampling import (
+    importance_z,
+    merge_sorted_payloads,
+    stratified_z,
+    union_sorted_z,
+)
 from ..ops.feat_sample import (
     multiview_bilinear_sample,
     multiview_bilinear_sample_mm,
@@ -668,16 +673,38 @@ class KeypointNeRF(nn.Module):
             k_coarse, train,
         )
         if ccull:
-            # scatter marched values back; unmarched rays are empty space
-            alpha = jnp.zeros((Rn, c.n_coarse)).at[csel].set(
-                alpha_m.reshape(Rc, c.n_coarse)
+            # write the marched values back to full-ray order. XLA:TPU
+            # scatter serializes per index (docs/PERF.md "scatter is the
+            # enemy"), so instead of scattering three big payloads, scatter
+            # ONE tiny int32 inverse-index array and turn the write-back
+            # into a single packed row-gather (unmarched rays take the
+            # empty-space defaults row at index Rc).
+            S = c.n_coarse
+            inv = jnp.full((Rn,), Rc, jnp.int32).at[csel].set(
+                jnp.arange(Rc, dtype=jnp.int32)
             )
-            sdf = jnp.full((Rn, c.n_coarse), c.bkg_sdf).at[csel].set(
-                sdf_m.reshape(Rc, c.n_coarse)
+            packed = jnp.concatenate(
+                [
+                    alpha_m.reshape(Rc, S),
+                    sdf_m.reshape(Rc, S),
+                    rgb_m.reshape(Rc, S * 3),
+                ],
+                axis=-1,
             )
-            rgb = jnp.zeros((Rn, c.n_coarse, 3)).at[csel].set(
-                rgb_m.reshape(Rc, c.n_coarse, 3)
+            defaults = jnp.concatenate(
+                [
+                    jnp.zeros((1, S), packed.dtype),
+                    jnp.full((1, S), c.bkg_sdf, packed.dtype),
+                    jnp.zeros((1, S * 3), packed.dtype),
+                ],
+                axis=-1,
             )
+            packed = jnp.take(
+                jnp.concatenate([packed, defaults], axis=0), inv, axis=0
+            )  # (Rn, 5S)
+            alpha = packed[:, :S]
+            sdf = packed[:, S : 2 * S]
+            rgb = packed[:, 2 * S :].reshape(Rn, S, 3)
         else:
             alpha = alpha_m.reshape(Rn, c.n_coarse)
             sdf = sdf_m.reshape(Rn, c.n_coarse)
@@ -719,7 +746,6 @@ class KeypointNeRF(nn.Module):
             z_fine = importance_z(
                 k_imp, contrib, z_mid, c.n_fine, uniform=not train
             )
-        z_all = union_sorted_z(z, z_fine)                          # (R, Sc+Sf)
         n_all = c.n_coarse + c.n_fine
 
         cull = (not train) and c.fine_topk_ratio < 1.0
@@ -754,19 +780,24 @@ class KeypointNeRF(nn.Module):
             sdf_c = jnp.take(sdf, sel, axis=0) if cull else sdf
             rgb_c = jnp.take(rgb, sel, axis=0) if cull else rgb
             z_c = jnp.take(z, sel, axis=0) if cull else z
-            z_cat = jnp.concatenate([z_c, z_f], axis=-1)
-            a_cat = jnp.concatenate([alpha_c, alpha_f.reshape(Rf, c.n_fine)], -1)
-            s_cat = jnp.concatenate([sdf_c, sdf_f.reshape(Rf, c.n_fine)], -1)
-            rgb_cat = jnp.concatenate(
-                [rgb_c, rgb_f.reshape(Rf, c.n_fine, 3)], axis=-2
+            # both depth arrays are sorted at eval (stratified bins;
+            # inverse-CDF of increasing u), so the stable payload sort the
+            # reference implies is a stable MERGE — one comparison-count +
+            # permutation contraction instead of a bitonic sort over five
+            # payload columns (exact; geometry/sampling.py)
+            v_c = jnp.concatenate([alpha_c[..., None], sdf_c[..., None], rgb_c], -1)
+            v_f = jnp.concatenate(
+                [
+                    alpha_f.reshape(Rf, c.n_fine, 1),
+                    sdf_f.reshape(Rf, c.n_fine, 1),
+                    rgb_f.reshape(Rf, c.n_fine, 3),
+                ],
+                axis=-1,
             )
-            zs, as_, ss, r0, g0, b0 = jax.lax.sort(
-                (z_cat, a_cat, s_cat,
-                 rgb_cat[..., 0], rgb_cat[..., 1], rgb_cat[..., 2]),
-                dimension=-1, num_keys=1,
-            )
-            fine_out = composite(as_, ss, jnp.stack([r0, g0, b0], -1), zs)
+            zs, vs = merge_sorted_payloads(z_c, z_f, v_c, v_f)
+            fine_out = composite(vs[..., 0], vs[..., 1], vs[..., 2:5], zs)
         else:
+            z_all = union_sorted_z(z, z_fine)                      # (R, Sc+Sf)
             z_all_f = jnp.take(z_all, sel, axis=0) if cull else z_all
             pts = origin + dirs_f[:, None, :] * z_all_f[..., None]
             view = jnp.broadcast_to(dirs_f[:, None, :], pts.shape)
@@ -779,13 +810,38 @@ class KeypointNeRF(nn.Module):
                 rgb_a.reshape(Rf, n_all, 3), z_all_f,
             )
         if cull:
-            color = jnp.asarray(coarse.color).at[sel].set(fine_out.color)
-            depth = coarse.depth.at[sel].set(fine_out.depth)
-            acc = coarse.acc.at[sel].set(fine_out.acc)
-            sdf_full = jnp.zeros((Rn,), fine_out.sdf.dtype).at[sel].set(fine_out.sdf)
+            # same inverse-index + packed row-gather as the coarse cull:
+            # one tiny int32 scatter, then unmarched rays select their
+            # per-ray coarse fallback with a jnp.where
+            inv = jnp.full((Rn,), Rf, jnp.int32).at[sel].set(
+                jnp.arange(Rf, dtype=jnp.int32)
+            )
+            fine_packed = jnp.concatenate(
+                [
+                    fine_out.color,
+                    fine_out.depth[:, None],
+                    fine_out.acc[:, None],
+                    fine_out.sdf[:, None],
+                ],
+                axis=-1,
+            )  # (Rf, 6)
+            fine_packed = jnp.concatenate(
+                [fine_packed, jnp.zeros((1, 6), fine_packed.dtype)], axis=0
+            )
+            taken = jnp.take(fine_packed, inv, axis=0)             # (Rn, 6)
+            fallback = jnp.concatenate(
+                [
+                    jnp.asarray(coarse.color),
+                    coarse.depth[:, None],
+                    coarse.acc[:, None],
+                    jnp.zeros((Rn, 1), taken.dtype),
+                ],
+                axis=-1,
+            )
+            res = jnp.where((inv < Rf)[:, None], taken, fallback)
             out.update(
-                {"rgb_fine": color, "depth_fine": depth, "acc_fine": acc,
-                 "sdf_fine": sdf_full}
+                {"rgb_fine": res[:, :3], "depth_fine": res[:, 3],
+                 "acc_fine": res[:, 4], "sdf_fine": res[:, 5]}
             )
         else:
             out.update(

@@ -162,6 +162,35 @@ class TestSampling:
         b = jnp.array([[2.0, 0.5]])
         np.testing.assert_allclose(union_sorted_z(a, b)[0], [0.5, 1.0, 2.0, 3.0])
 
+    def test_merge_sorted_payloads_matches_stable_sort(self):
+        """The comparison-count merge must reproduce lax.sort's stable
+        payload sort bitwise, including ties across and within inputs."""
+        from keypointnerf_tpu.geometry import merge_sorted_payloads
+
+        rng = np.random.default_rng(7)
+        R, Sa, Sb, C = 16, 9, 6, 5
+        # quantized values force plenty of exact ties
+        z_a = np.sort(rng.integers(0, 8, (R, Sa)).astype(np.float32), axis=-1)
+        z_b = np.sort(rng.integers(0, 8, (R, Sb)).astype(np.float32), axis=-1)
+        v_a = rng.normal(size=(R, Sa, C)).astype(np.float32)
+        v_b = rng.normal(size=(R, Sb, C)).astype(np.float32)
+
+        z, v = merge_sorted_payloads(
+            jnp.asarray(z_a), jnp.asarray(z_b), jnp.asarray(v_a), jnp.asarray(v_b)
+        )
+        z_cat = jnp.concatenate([jnp.asarray(z_a), jnp.asarray(z_b)], -1)
+        v_cat = np.concatenate([v_a, v_b], axis=1)
+        ref = jax.lax.sort(
+            (z_cat,) + tuple(jnp.asarray(v_cat[..., c]) for c in range(C)),
+            dimension=-1,
+            num_keys=1,
+        )
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(ref[0]))
+        for c in range(C):
+            np.testing.assert_array_equal(
+                np.asarray(v[..., c]), np.asarray(ref[1 + c])
+            )
+
 
 class TestCompositing:
     def test_single_opaque_slab(self):
