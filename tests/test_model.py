@@ -243,6 +243,45 @@ def test_coarse_cull_close_to_full(model_and_params):
     assert float(d.mean()) < 0.03, float(d.mean())
 
 
+def test_eval_render_has_no_payload_scatters(model_and_params):
+    """Culling write-backs must never scatter float payloads — XLA:TPU
+    scatter serializes per index (docs/PERF.md), so the formulation is one
+    tiny int32 inverse-index scatter + packed row gathers. Guard the
+    compiled HLO of the benched eval path against regressions."""
+    import dataclasses
+    import re
+
+    model, params, vb = model_and_params
+    fast = KeypointNeRF(dataclasses.replace(
+        TINY, fused_feature_map=True, fine_topk_ratio=0.5,
+        coarse_topk_ratio=0.5, reuse_coarse_eval=True,
+    ))
+    R = 128
+    dirs = jax.random.normal(jax.random.key(0), (R, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origin = jnp.asarray([0.0, 0.0, -3.0])
+    near = jnp.full((R, 1), 2.0)
+    far = jnp.full((R, 1), 5.0)
+    feats = fast.apply(
+        params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode
+    )
+
+    def run(params, feats, dirs, near, far):
+        return fast.apply(
+            params, feats, vb, origin, dirs, near, far, None, False,
+            method=KeypointNeRF.render_rays,
+        )
+
+    txt = jax.jit(run).lower(params, feats, dirs, near, far).compile().as_text()
+    # every scatter instruction's result must be a small integer array
+    # (the inverse-index writes), never a float payload tensor
+    scatters = re.findall(r"= ([a-z0-9]+)\[([\d,]*)\][^=]* scatter\(", txt)
+    for dtype, dims in scatters:
+        n_elems = int(np.prod([int(d) for d in dims.split(",") if d] or [1]))
+        assert dtype.startswith(("s", "u")), (dtype, dims)
+        assert n_elems <= 4 * R, (dtype, dims)
+
+
 def test_patch_clamp_per_axis(model_and_params):
     """Patch pixel coords must clamp x to [0, W-1] and y to [0, H-1]
     independently — a shared min(W,H) bound is wrong for non-square images."""
