@@ -129,8 +129,11 @@ def merge_sorted_payloads(z_a, z_b, v_a, v_b):
       pos_b[j] = j + #{ z_a <= z_b[j] }   matching stable-sort concat order)
 
     The cross counts can never collide, so `pos` is a permutation; a 0/1
-    one-hot matmul in f32 moves each payload row exactly (products are exact
-    and each output sums one nonzero term).
+    one-hot matmul moves each payload row exactly in ANY dtype — products
+    are 1.0*x or 0.0 and each output sums one nonzero term, so the result
+    is bitwise the input value even in bf16. Payloads therefore keep their
+    native dtype (upcasting bf16 to f32 would double the dominant HBM
+    traffic of the contraction); z is merged at its own precision.
 
     Args:
       z_a: (..., Sa) sorted depths.
@@ -151,7 +154,13 @@ def merge_sorted_payloads(z_a, z_b, v_a, v_b):
     pos = jnp.concatenate([pos_a, pos_b], axis=-1)              # (..., S)
     z = jnp.concatenate([z_a, z_b], axis=-1)
     v = jnp.concatenate([v_a, v_b], axis=-2)                    # (..., S, C)
-    onehot = (pos[..., :, None] == jnp.arange(S)).astype(jnp.float32)
-    vz = jnp.concatenate([z[..., None].astype(jnp.float32), v.astype(jnp.float32)], -1)
-    out = jnp.einsum("...is,...ic->...sc", onehot, vz)
-    return out[..., 0], out[..., 1:]
+    onehot = pos[..., :, None] == jnp.arange(S)
+    if v.dtype == z.dtype:
+        vz = jnp.concatenate([z[..., None], v], -1)
+        out = jnp.einsum("...is,...ic->...sc", onehot.astype(vz.dtype), vz)
+        return out[..., 0], out[..., 1:]
+    z_m = jnp.einsum(
+        "...is,...i->...s", onehot.astype(z.dtype), z
+    )
+    v_m = jnp.einsum("...is,...ic->...sc", onehot.astype(v.dtype), v)
+    return z_m, v_m

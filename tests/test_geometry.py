@@ -191,6 +191,35 @@ class TestSampling:
                 np.asarray(v[..., c]), np.asarray(ref[1 + c])
             )
 
+    def test_merge_sorted_payloads_preserves_bf16_bitwise(self):
+        """bf16 payloads with f32 keys must merge bitwise (the one-hot
+        contraction is exact in any dtype: 1.0*x plus zeros)."""
+        from keypointnerf_tpu.geometry import merge_sorted_payloads
+
+        rng = np.random.default_rng(3)
+        R, Sa, Sb, C = 8, 7, 5, 4
+        z_a = jnp.asarray(np.sort(rng.normal(size=(R, Sa)), -1), jnp.float32)
+        z_b = jnp.asarray(np.sort(rng.normal(size=(R, Sb)), -1), jnp.float32)
+        v_a = jnp.asarray(rng.normal(size=(R, Sa, C)), jnp.bfloat16)
+        v_b = jnp.asarray(rng.normal(size=(R, Sb, C)), jnp.bfloat16)
+
+        z, v = merge_sorted_payloads(z_a, z_b, v_a, v_b)
+        assert z.dtype == jnp.float32 and v.dtype == jnp.bfloat16
+        ref = jax.lax.sort(
+            (jnp.concatenate([z_a, z_b], -1),)
+            + tuple(
+                jnp.concatenate([v_a[..., c], v_b[..., c]], -1) for c in range(C)
+            ),
+            dimension=-1,
+            num_keys=1,
+        )
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(ref[0]))
+        for c in range(C):
+            np.testing.assert_array_equal(
+                np.asarray(v[..., c].astype(jnp.float32)),
+                np.asarray(ref[1 + c].astype(jnp.float32)),
+            )
+
 
 class TestCompositing:
     def test_single_opaque_slab(self):
