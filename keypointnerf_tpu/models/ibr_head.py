@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax.nn.initializers import he_normal, zeros, constant
 
+from .mlp import WNDense
+
 
 def _dense(feats, dtype=None, name=None):
     return nn.Dense(
@@ -24,34 +26,16 @@ def _dense(feats, dtype=None, name=None):
     )
 
 
-class _SplitDense(nn.Module):
-    """nn.Dense with the identical param tree (kernel/bias, he_normal init)
-    that takes a TUPLE of inputs and folds their concatenation into the
+def _split_dense(feats, dtype=None, name=None):
+    """Dense over a TUPLE of inputs with the concatenation folded into the
     contraction: dot(concat(xs), W) == sum_i dot(x_i, W_i) over row-blocks
     of W. Two wins on TPU: the wide concat input is never materialized in
     HBM, and parts with a broadcast leading dim (e.g. the (1, N, C)
     cross-view mean/var) are contracted BEFORE broadcasting to (V, N, C) —
-    1/V of the matmul FLOPs for those parts."""
-
-    features: int
-    dtype: object = None
-
-    @nn.compact
-    def __call__(self, xs):
-        in_features = sum(a.shape[-1] for a in xs)
-        kernel = self.param("kernel", he_normal(), (in_features, self.features))
-        bias = self.param("bias", zeros, (self.features,))
-        k = kernel.astype(self.dtype) if self.dtype is not None else kernel
-        out = None
-        off = 0
-        for a in xs:
-            if self.dtype is not None:
-                a = a.astype(self.dtype)
-            wi = k[off : off + a.shape[-1]]
-            off += a.shape[-1]
-            d = jnp.dot(a, wi)
-            out = d if out is None else out + d
-        return out + bias.astype(out.dtype)
+    1/V of the matmul FLOPs for those parts. Shares WNDense (use_wn=False:
+    identical kernel/bias param tree and he_normal init as nn.Dense, f32
+    partial-sum accumulation) rather than duplicating the fold logic."""
+    return WNDense(features=feats, use_wn=False, dtype=dtype, name=name)
 
 
 def weighted_mean_var(x, w, axis=0):
@@ -106,7 +90,7 @@ class IBRRenderingHead(nn.Module):
         mean, var = weighted_mean_var(feats, w, axis=0)     # (1, N, width) x2
         # concat([mean, var, feats]) folded into the Dense_2 contraction —
         # the mean/var parts contract at (1, N, .) and broadcast after
-        x = nn.elu(_SplitDense(64, self.dtype, name="Dense_2")((mean, var, feats)))
+        x = nn.elu(_split_dense(64, self.dtype, name="Dense_2")((mean, var, feats)))
         x = nn.elu(_dense(32, self.dtype, name="Dense_3")(x))
 
         # NOTE: the original code built these denses inline in nested
@@ -133,7 +117,7 @@ class IBRRenderingHead(nn.Module):
         vis = vis * proj_mask
 
         # concat([x, vis, ray_diffs]) folded into the Dense_10 contraction
-        x = _SplitDense(16, self.dtype, name="Dense_10")((x, vis, ray_diffs))
+        x = _split_dense(16, self.dtype, name="Dense_10")((x, vis, ray_diffs))
         x = _dense(1, self.dtype, name="Dense_8")(
             nn.elu(_dense(8, self.dtype, name="Dense_9")(nn.elu(x)))
         )

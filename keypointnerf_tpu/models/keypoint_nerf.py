@@ -307,6 +307,13 @@ class KeypointNeRF(nn.Module):
                 "use_pallas_geo_mlp supports only the default mean/var pooling"
                 f" (pool_mode={c.pool_mode!r})"
             )
+        if c.use_pallas_geo_mlp and c.nl_relu_approx:
+            # the Pallas kernels hardcode softplus100; silently routing a
+            # relu-configured model through them would un-apply the flag
+            raise ValueError(
+                "nl_relu_approx is not supported with use_pallas_geo_mlp "
+                "(the fused kernel applies softplus100)"
+            )
         nl = c.mlp_nl
         if c.nl_relu_approx and nl == "softplus":
             nl = "relu"

@@ -38,12 +38,10 @@ TILE_N = 512
 SP_TILE_N = 256
 
 
-def softplus100(x):
-    # identical formulation to models/mlp.py:softplus100 (max + log1p of
-    # exp(-|y|)) so forward values AND custom-VJP gradients agree with the
-    # Flax path to rounding error, not just mathematically
-    y = 100.0 * x
-    return (jnp.maximum(y, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(y)))) * 0.01
+# shared with the Flax path so forward values AND custom-VJP gradients
+# agree to rounding error, not just mathematically (plain jnp: traces fine
+# inside Pallas kernels)
+from ...models.mlp import softplus100
 
 
 def fold_weight_norm(params) -> Tuple[jnp.ndarray, ...]:

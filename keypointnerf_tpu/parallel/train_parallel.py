@@ -120,7 +120,8 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
             [x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)]
         )
         out = sharded_march(params, feats, vb, origin, pad(dirs), pad(near), pad(far))
-        h, w = height // stride, width // stride
+        # ceil: pixel_grid emits ceil(H/stride) x ceil(W/stride) rays
+        h, w = -(-height // stride), -(-width // stride)
         return {
             k: v[:n].reshape((h, w) + v.shape[1:]) for k, v in out.items()
         }

@@ -89,5 +89,7 @@ def render_image(
     out = render_rays_chunked(
         model, params, feats, vb, origin, dirs, near, far, chunk=chunk, fine=fine
     )
-    h, w = height // stride, width // stride
+    # pixel_grid emits ceil(H/stride) x ceil(W/stride) rays (arange with a
+    # step), so ceil here too or non-divisible sizes crash the reshape
+    h, w = -(-height // stride), -(-width // stride)
     return {k: v.reshape((h, w) + v.shape[1:]) for k, v in out.items()}

@@ -55,6 +55,7 @@ class Trainer:
         self.eval_step = jit_eval_step(model, cfg.loss)
 
         self._last_val_loss = None   # newest val/total_loss, for best-ckpt tracking
+        self._last_val_step = None   # step it was measured at
         self._val_render = None      # lazily-built sharded validation renderer
         out_dir = os.path.join(cfg.out_dir, cfg.name)
         self.out_dir = out_dir
@@ -111,9 +112,15 @@ class Trainer:
                 yield stack_batch(batch)
                 batch = []
 
-    def _val_metrics(self):
-        """Metrics dict attached to checkpoint saves (best-model tracking)."""
-        if self._last_val_loss is None:
+    def _val_metrics(self, step):
+        """Metrics dict attached to checkpoint saves (best-model tracking).
+
+        Only a save at the SAME step the loss was measured gets the metric —
+        attaching a stale validation loss to later steps would let
+        best-checkpoint selection credit (and restore) params that never
+        produced it. Matches the reference ModelCheckpoint, which records
+        metrics at validation time only."""
+        if self._last_val_loss is None or step != self._last_val_step:
             return None
         return {"val_total_loss": float(self._last_val_loss)}
 
@@ -135,6 +142,7 @@ class Trainer:
             # tracked by the checkpoint manager for best-model selection
             # (reference ModelCheckpoint monitors min val_total_loss)
             self._last_val_loss = mean_err["e_all"]
+            self._last_val_step = step
         # image strip: strided render of val sample 0 (reference model.py:519)
         sample = self.val_data[0]
         if sample is not None:
@@ -188,12 +196,12 @@ class Trainer:
                 if step % cfg.val_every_steps == 0:
                     self.validate(step)
                 if step % cfg.ckpt_every_steps == 0:
-                    self.ckpt.save(step, self.state, metrics=self._val_metrics())
+                    self.ckpt.save(step, self.state, metrics=self._val_metrics(step))
                 if max_steps is not None and step >= max_steps:
-                    self.ckpt.save(step, self.state, metrics=self._val_metrics())
+                    self.ckpt.save(step, self.state, metrics=self._val_metrics(step))
                     self.ckpt.wait()
                     return self.state
             # checkpoint at epoch end (reference save_on_train_epoch_end)
-            self.ckpt.save(step, self.state, metrics=self._val_metrics())
+            self.ckpt.save(step, self.state, metrics=self._val_metrics(step))
         self.ckpt.wait()
         return self.state

@@ -55,7 +55,10 @@ class CheckpointManager:
         back to latest if no checkpoint has metrics yet). Returns
         (state, step) or (None, None) if empty."""
         if step is None:
-            step = (self.best_step() if best else None) or self._mgr.latest_step()
+            # explicit None checks: step 0 is a valid best/latest step
+            step = self.best_step() if best else None
+            if step is None:
+                step = self._mgr.latest_step()
         if step is None:
             return None, None
         state = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))

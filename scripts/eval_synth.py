@@ -14,7 +14,7 @@ flags.
 
 Usage:
   python scripts/eval_synth.py RUN_DIR [RUN_DIR ...] [--scenes 4]
-                               [--size 128] [--chunk 16384]
+                               [--size 128] [--chunk 8192]
 """
 import argparse
 import dataclasses
@@ -37,7 +37,7 @@ def main():
     ap.add_argument("runs", nargs="+", help="run dirs with config.json + ckpts/")
     ap.add_argument("--scenes", type=int, default=4, help="scenes per split")
     ap.add_argument("--size", type=int, default=128)
-    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--unseen_base", type=int, default=100,
                     help="first seed of the unseen split (train uses 0..63)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")

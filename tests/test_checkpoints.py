@@ -77,3 +77,16 @@ def test_best_falls_back_to_latest_without_metrics(tmp_path):
     restored, step = mgr.restore(make_state(0.0), best=True)
     assert step == 7 and restored is not None
     mgr.close()
+
+
+def test_best_step_zero_is_not_discarded(tmp_path):
+    """A best checkpoint at step 0 must win over a worse later step —
+    `best_step() or latest_step()` would discard the falsy 0."""
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(0, make_state(0.0), metrics={"val_total_loss": 0.1})
+    mgr.save(3, make_state(3.0), metrics={"val_total_loss": 0.9})
+    mgr.wait()
+    restored, step = mgr.restore(make_state(0.0), best=True)
+    assert step == 0
+    np.testing.assert_array_equal(np.asarray(restored.params["w"])[0, 0], 0.0)
+    mgr.close()

@@ -439,3 +439,12 @@ def test_gather_lerp_close_to_exact_render(model_and_params):
     assert np.all(np.isfinite(b["rgb_fine"]))
     d = np.abs(np.asarray(a["rgb_fine"]) - np.asarray(b["rgb_fine"]))
     assert float(d.mean()) < 0.03, float(d.mean())
+
+
+def test_render_image_non_divisible_stride(model_and_params):
+    """stride that does not divide H/W: pixel_grid emits ceil-sized grids
+    and the reshape must match (floor division crashed here)."""
+    model, params, vb = model_and_params
+    out = render_image(model, params, vb, height=64, width=64, stride=7, chunk=128)
+    assert out["rgb_fine"].shape == (10, 10, 3)  # ceil(64/7) = 10
+    assert np.all(np.isfinite(out["rgb_fine"]))
