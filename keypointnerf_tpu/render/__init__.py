@@ -1,8 +1,9 @@
-from .renderer import render_image, render_rays_chunked
+from .renderer import render_image, render_images_batched, render_rays_chunked
 from .video import orbit_cameras, render_orbit, write_video, zju_orbit_schedule
 
 __all__ = [
     "render_image",
+    "render_images_batched",
     "render_rays_chunked",
     "orbit_cameras",
     "render_orbit",

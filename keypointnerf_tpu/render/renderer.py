@@ -93,3 +93,50 @@ def render_image(
     # step), so ceil here too or non-divisible sizes crash the reshape
     h, w = -(-height // stride), -(-width // stride)
     return {k: v.reshape((h, w) + v.shape[1:]) for k, v in out.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("height", "width", "stride", "chunk", "fine")
+)
+def render_images_batched(
+    model: KeypointNeRF,
+    params,
+    vbs: ViewBatch,
+    *,
+    height: int,
+    width: int,
+    stride: int = 1,
+    chunk: int = 4096,
+    fine: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Render B subjects' target cameras in ONE compiled program.
+
+    `vbs` is a ViewBatch whose every leaf carries a leading batch axis B
+    (build it with `parallel.stack_batch`). The reference renderer is
+    strictly batch-1 (it squeezes the batch dim, src/model.py:1191), so
+    serving several subjects there means serial re-dispatch per subject;
+    here a single vmapped program encodes and marches all B subjects
+    together — per-dispatch overhead amortizes and small per-chunk ops
+    batch up to better MXU/VPU occupancy at serving time.
+
+    Returns dict of (B, H', W', C) images.
+    """
+    cfg = model.cfg
+
+    def one(vb):
+        feats = model.apply(
+            params, vb.src_images, vb.src_masks, method=KeypointNeRF.encode
+        )
+        pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
+        origin, dirs, near, far = camera_rays(
+            pix.astype(jnp.float32), vb.tar_K, vb.tar_R, vb.tar_t,
+            cfg.znear, cfg.zfar,
+        )
+        return render_rays_chunked(
+            model, params, feats, vb, origin, dirs, near, far,
+            chunk=chunk, fine=fine,
+        )
+
+    out = jax.vmap(one)(vbs)
+    h, w = -(-height // stride), -(-width // stride)
+    return {k: v.reshape((v.shape[0], h, w) + v.shape[2:]) for k, v in out.items()}

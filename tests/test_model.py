@@ -448,3 +448,26 @@ def test_render_image_non_divisible_stride(model_and_params):
     out = render_image(model, params, vb, height=64, width=64, stride=7, chunk=128)
     assert out["rgb_fine"].shape == (10, 10, 3)  # ceil(64/7) = 10
     assert np.all(np.isfinite(out["rgb_fine"]))
+
+
+def test_render_images_batched_matches_per_subject(model_and_params):
+    """The batched serving renderer must reproduce per-subject renders
+    (one vmapped program over B subjects vs B separate dispatches)."""
+    from keypointnerf_tpu.parallel import stack_batch
+    from keypointnerf_tpu.render import render_images_batched
+
+    model, params, _ = model_and_params
+    vbs = [tiny_batch(seed=0), tiny_batch(seed=11)]
+    batched = render_images_batched(
+        model, params, stack_batch(vbs), height=64, width=64, stride=8, chunk=64
+    )
+    assert batched["rgb_fine"].shape == (2, 8, 8, 3)
+    for b, vb in enumerate(vbs):
+        single = render_image(
+            model, params, vb, height=64, width=64, stride=8, chunk=64
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["rgb_fine"][b]),
+            np.asarray(single["rgb_fine"]),
+            atol=2e-5,
+        )
