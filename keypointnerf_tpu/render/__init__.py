@@ -1,7 +1,13 @@
-from .renderer import render_image, render_images_batched, render_rays_chunked
+from .renderer import (
+    render_cameras_scanned,
+    render_image,
+    render_images_batched,
+    render_rays_chunked,
+)
 from .video import orbit_cameras, render_orbit, write_video, zju_orbit_schedule
 
 __all__ = [
+    "render_cameras_scanned",
     "render_image",
     "render_images_batched",
     "render_rays_chunked",

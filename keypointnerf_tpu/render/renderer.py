@@ -98,6 +98,53 @@ def render_image(
 @functools.partial(
     jax.jit, static_argnums=(0,), static_argnames=("height", "width", "stride", "chunk", "fine")
 )
+def render_cameras_scanned(
+    model: KeypointNeRF,
+    params,
+    feats,
+    vb: ViewBatch,
+    Ks,          # (F, 3, 3)
+    Rs,          # (F, 3, 3)
+    ts,          # (F, 3)
+    *,
+    height: int,
+    width: int,
+    stride: int = 1,
+    chunk: int = 4096,
+    fine: bool = True,
+) -> jnp.ndarray:
+    """Render F target cameras of ONE subject in one compiled program.
+
+    lax.scan over the camera stack: one dispatch for the whole group
+    instead of one per frame — the orbit-video path (reference
+    render_novel_views loops ~90 cameras, src/model.py:476-507) pays
+    per-dispatch latency once per group. Encoder features are taken as an
+    argument (encode once per subject). Returns (F, H', W', 3) fine RGB
+    only — video frames need nothing else, and small outputs keep the
+    host transfer cheap.
+    """
+    cfg = model.cfg
+    pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
+
+    def one(_, cam):
+        K, R, t = cam
+        origin, dirs, near, far = camera_rays(
+            pix.astype(jnp.float32), K, R, t, cfg.znear, cfg.zfar
+        )
+        out = render_rays_chunked(
+            model, params, feats, vb, origin, dirs, near, far,
+            chunk=chunk, fine=fine,
+        )
+        return None, out["rgb_fine"]
+
+    _, rgb = jax.lax.scan(one, None, (Ks, Rs, ts))
+    h, w = -(-height // stride), -(-width // stride)
+    return rgb.reshape((rgb.shape[0], h, w, 3))
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("height", "width", "stride", "chunk", "fine")
+)
 def render_images_batched(
     model: KeypointNeRF,
     params,

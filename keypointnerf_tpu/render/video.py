@@ -115,9 +115,14 @@ def render_orbit(
     frame_indices: Optional[List[int]] = None,
     make_video: bool = True,
     arc: str = "full",
+    frame_group: int = 10,
 ):
     """Render an orbit around the subject of `vb` and write PNG frames
-    (+ mp4). Returns the list of written frame paths."""
+    (+ mp4). Returns the list of written frame paths.
+
+    Frames are rendered `frame_group` at a time inside ONE compiled
+    program (render_cameras_scanned) — per-dispatch latency is paid per
+    group, not per frame."""
     import dataclasses
 
     import imageio.v2 as imageio
@@ -125,7 +130,7 @@ def render_orbit(
     import jax.numpy as jnp
 
     from ..models.keypoint_nerf import KeypointNeRF
-    from ..render import render_image
+    from ..render import render_cameras_scanned
 
     sched = zju_orbit_schedule(im_size, im_size)
     # orbit cameras sit at trans=5.0 with a +-3.0 slab — rebuild the module
@@ -146,19 +151,25 @@ def render_orbit(
     feats = jax.jit(
         lambda p, im, mk: model.apply(p, im, mk, method=KeypointNeRF.encode)
     )(params, vb.src_images, vb.src_masks)
-    for idx in indices:
-        K, R, t = cams[idx % n_frames]
-        cam_vb = vb.replace(
-            tar_K=jnp.asarray(K), tar_R=jnp.asarray(R), tar_t=jnp.asarray(t)
+    # pad the last group to the fixed group size so every group hits the
+    # same compiled program (duplicate frames render and are dropped)
+    g = max(1, min(frame_group, len(indices)))
+    for start in range(0, len(indices), g):
+        group = indices[start : start + g]
+        padded = group + [group[-1]] * (g - len(group))
+        K, R, t = (
+            jnp.asarray(np.stack([cams[i % n_frames][j] for i in padded]))
+            for j in range(3)
         )
-        out = render_image(
-            model, params, cam_vb, height=im_size, width=im_size, stride=stride,
-            feats=feats,
+        rgb = render_cameras_scanned(
+            model, params, feats, vb, K, R, t,
+            height=im_size, width=im_size, stride=stride,
         )
-        img = np.clip(np.asarray(out["rgb_fine"]), 0.0, 1.0)
-        path = os.path.join(out_dir, f"{idx:06d}.png")
-        imageio.imwrite(path, (img * 255).astype(np.uint8))
-        written.append(path)
+        imgs = np.clip(np.asarray(rgb[: len(group)]), 0.0, 1.0)
+        for idx, img in zip(group, imgs):
+            path = os.path.join(out_dir, f"{idx:06d}.png")
+            imageio.imwrite(path, (img * 255).astype(np.uint8))
+            written.append(path)
     if make_video:
         write_video(out_dir, f"{out_dir}_nvs.mp4")
     return written

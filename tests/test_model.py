@@ -471,3 +471,37 @@ def test_render_images_batched_matches_per_subject(model_and_params):
             np.asarray(single["rgb_fine"]),
             atol=2e-5,
         )
+
+
+def test_render_cameras_scanned_matches_render_image(model_and_params):
+    """The grouped orbit renderer (one lax.scan program over F cameras)
+    must reproduce per-camera render_image frames."""
+    from keypointnerf_tpu.render import render_cameras_scanned
+
+    model, params, vb = model_and_params
+    feats = model.apply(
+        params, vb.src_images, vb.src_masks,
+        method=type(model).encode,
+    )
+    # two distinct target cameras: the sample's own and a second view's
+    Ks = jnp.stack([vb.tar_K, vb.src_K[0]])
+    Rs = jnp.stack([vb.tar_R, vb.src_R[0]])
+    ts = jnp.stack([vb.tar_t, vb.src_t[0]])
+    rgb = render_cameras_scanned(
+        model, params, feats, vb, Ks, Rs, ts,
+        height=64, width=64, stride=8, chunk=64,
+    )
+    assert rgb.shape == (2, 8, 8, 3)
+    import dataclasses as _dc
+
+    for f in range(2):
+        cam_vb = _dc.replace(
+            vb, tar_K=Ks[f], tar_R=Rs[f], tar_t=ts[f]
+        )
+        single = render_image(
+            model, params, cam_vb, height=64, width=64, stride=8, chunk=64,
+            feats=feats,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb[f]), np.asarray(single["rgb_fine"]), atol=2e-5
+        )
