@@ -25,6 +25,11 @@ def main():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--chunk", type=int, default=8192)
+    p.add_argument(
+        "--cameras", type=int, default=0,
+        help="export the multi-camera serving fn over F stacked target "
+        "cameras (encode-once + lax.scan; 0 = single-camera artifact)",
+    )
     p.add_argument("--platforms", default="cpu,tpu", help="comma-separated lowering targets")
     p.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     args = p.parse_args()
@@ -74,14 +79,19 @@ def main():
     else:
         print("WARNING: exporting randomly-initialized params (smoke export)")
 
+    tar_K, tar_R, tar_t = vb.tar_K, vb.tar_R, vb.tar_t
+    if args.cameras > 0:
+        stack = lambda x: jnp.broadcast_to(x, (args.cameras,) + x.shape)
+        tar_K, tar_R, tar_t = stack(tar_K), stack(tar_R), stack(tar_t)
     flat_args = (
         vb.src_images, vb.src_masks, vb.src_K, vb.src_R, vb.src_t,
-        vb.kpt3d, vb.bounds, vb.tar_K, vb.tar_R, vb.tar_t,
+        vb.kpt3d, vb.bounds, tar_K, tar_R, tar_t,
     )
     blob = export_render(
         model, params, flat_args,
         height=args.height, width=args.width, chunk=args.chunk,
         platforms=tuple(args.platforms.split(",")),
+        multicam=args.cameras > 0,
     )
     with open(args.out, "wb") as f:
         f.write(blob)

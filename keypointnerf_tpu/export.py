@@ -57,6 +57,38 @@ def make_serving_fn(model: KeypointNeRF, height: int, width: int, chunk: int = 4
     return serve
 
 
+def make_multicam_serving_fn(model: KeypointNeRF, height: int, width: int,
+                             chunk: int = 4096):
+    """A (params, views, F-camera stacks) -> (F, H, W, 3) serving function.
+
+    The video/orbit serving shape: source views are encoded ONCE inside
+    the program, then a lax.scan marches every target camera
+    (render_cameras_scanned) — the exported artifact keeps the reference's
+    attach_im_feat amortization (src/model.py:642-688) without any Python
+    caller managing a feature cache. Camera args are stacks:
+    tar_K/R (F, 3, 3), t (F, 3).
+    """
+    from .render.renderer import render_cameras_scanned
+
+    def serve(params, src_images, src_masks, src_K, src_R, src_t,
+              kpt3d, bounds, tar_Ks, Rs, ts):
+        vb = ViewBatch(
+            src_images=src_images, src_masks=src_masks,
+            src_K=src_K, src_R=src_R, src_t=src_t,
+            tar_image=jnp.zeros((1, 1, 3), src_images.dtype),
+            tar_mask=jnp.zeros((1, 1, 1), src_masks.dtype),
+            tar_K=tar_Ks[0], tar_R=Rs[0], tar_t=ts[0],
+            kpt3d=kpt3d, bounds=bounds,
+        )
+        feats = model.apply(params, src_images, src_masks, method=KeypointNeRF.encode)
+        return render_cameras_scanned(
+            model, params, feats, vb, tar_Ks, Rs, ts,
+            height=height, width=width, chunk=chunk,
+        )
+
+    return serve
+
+
 def export_render(
     model: KeypointNeRF,
     params,
@@ -66,13 +98,18 @@ def export_render(
     width: int,
     chunk: int = 4096,
     platforms=("cpu", "tpu"),
+    multicam: bool = False,
 ) -> bytes:
     """Serialize the jitted serving function to portable StableHLO bytes.
 
     `example_args` is the flat tuple (src_images, src_masks, src_K, src_R,
     src_t, kpt3d, bounds, tar_K, R, t) — only shapes/dtypes are captured.
+    With `multicam=True` the camera entries are (F, ...) stacks and the
+    artifact returns (F, H, W, 3).
     """
-    serve = make_serving_fn(model, height, width, chunk)
+    serve = (make_multicam_serving_fn if multicam else make_serving_fn)(
+        model, height, width, chunk
+    )
     spec = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
     arg_specs = (jax.tree.map(spec, params),) + tuple(spec(a) for a in example_args)
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*arg_specs)

@@ -61,3 +61,29 @@ def test_exported_artifact_checks_shapes(setup):
     bad = (jnp.zeros((2, 8, 8, 3), flat_args[0].dtype),) + flat_args[1:]
     with pytest.raises(Exception):
         restored(params, *bad)
+
+
+def test_multicam_export_round_trip(setup):
+    """The F-camera serving artifact (encode-once + lax.scan over cameras)
+    must round-trip and match the single-camera artifact frame-by-frame."""
+    from keypointnerf_tpu.export import make_multicam_serving_fn
+
+    model, params, flat_args = setup
+    *views, tar_K, tar_R, tar_t = flat_args
+    F = 2
+    stack = lambda x: jnp.broadcast_to(x, (F,) + x.shape)
+    mc_args = tuple(views) + (stack(tar_K), stack(tar_R), stack(tar_t))
+
+    live = jax.jit(make_multicam_serving_fn(model, H, W, chunk=64))
+    frames = np.asarray(live(params, *mc_args))
+    assert frames.shape == (F, H, W, 3)
+
+    blob = export_render(
+        model, params, mc_args, height=H, width=W, chunk=64,
+        platforms=("cpu",), multicam=True,
+    )
+    restored = load_render(bytes(blob))
+    np.testing.assert_array_equal(frames, np.asarray(restored(params, *mc_args)))
+
+    single = jax.jit(make_serving_fn(model, H, W, chunk=64))(params, *flat_args)
+    np.testing.assert_allclose(frames[0], np.asarray(single), atol=2e-5)
