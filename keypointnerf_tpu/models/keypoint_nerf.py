@@ -331,7 +331,7 @@ class KeypointNeRF(nn.Module):
         self.gcompress = nn.Dense(c.gcompress_out, dtype=dt)
 
     # ------------------------------------------------------------------ encode
-    def encode(self, src_images, src_masks=None):
+    def encode(self, src_images, src_masks=None, train=False):
         """Run the CNN encoders over the V source views.
 
         Reference attach_geo_feat/attach_tex_feat (src/model.py:653-680):
@@ -390,9 +390,12 @@ class KeypointNeRF(nn.Module):
                 ],
                 axis=-1,
             )
-            if self.cfg.use_dma_gather:
+            if self.cfg.use_dma_gather and not train:
                 # lane-align the channel dim once here so the DMA kernel's
-                # HBM patch slices need no per-query pad copy
+                # HBM patch slices need no per-query pad copy. Eval only:
+                # the DMA kernel never runs in training, where the pad
+                # would inflate the dominant gather + its VJP by the dead
+                # channels
                 c_pad = (-fused.shape[-1]) % 128
                 if c_pad:
                     fused = jnp.pad(
@@ -841,7 +844,7 @@ class KeypointNeRF(nn.Module):
                     jnp.asarray(coarse.color),
                     coarse.depth[:, None],
                     coarse.acc[:, None],
-                    jnp.zeros((Rn, 1), taken.dtype),
+                    coarse.sdf[:, None].astype(taken.dtype),
                 ],
                 axis=-1,
             )
@@ -874,9 +877,14 @@ class KeypointNeRF(nn.Module):
         logits = jnp.where(jnp.any(flat > 0.5), logits, jnp.zeros_like(logits))
         idx = jax.random.categorical(rng, logits)
         cy, cx = idx // W, idx % W
-        grid = pixel_grid(c.patch_h, c.patch_w)  # (P*P, 2) (x, y)
-        grid = grid + jnp.stack([cx - c.patch_w // 2, cy - c.patch_h // 2])
-        # per-axis clamp: x in [0, W-1], y in [0, H-1]
+        # shift the patch WINDOW inside the frame (don't clamp pixels
+        # individually — that duplicates border rows/columns and feeds the
+        # patch-structured VGG loss a smeared image no real patch matches)
+        x0 = jnp.clip(cx - c.patch_w // 2, 0, max(W - c.patch_w, 0))
+        y0 = jnp.clip(cy - c.patch_h // 2, 0, max(H - c.patch_h, 0))
+        grid = pixel_grid(c.patch_h, c.patch_w) + jnp.stack([x0, y0])
+        # belt-and-braces per-axis clamp for the degenerate patch > image
+        # case: x in [0, W-1], y in [0, H-1]
         return jnp.clip(grid, 0, jnp.array([W - 1, H - 1]))
 
     def __call__(self, vb: ViewBatch, train: bool = True):
@@ -889,7 +897,7 @@ class KeypointNeRF(nn.Module):
         H, W = vb.tar_image.shape[:2]
         rng = self.make_rng("render") if train else None
 
-        feats = self.encode(vb.src_images, vb.src_masks)
+        feats = self.encode(vb.src_images, vb.src_masks, train)
 
         if train:
             rng, k_patch = jax.random.split(rng)

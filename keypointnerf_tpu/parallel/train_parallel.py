@@ -116,9 +116,13 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
         )
         n = dirs.shape[0]
         n_pad = (-n) % n_dev
-        pad = lambda x: jnp.concatenate(
-            [x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)]
-        )
+        if n_pad:
+            # wrap-pad with real rays (see render_rays_chunked): zero "rays"
+            # can composite to high acc and steal fine-cull slots
+            idx = jnp.arange(n + n_pad, dtype=jnp.int32) % n
+            pad = lambda x: jnp.take(x, idx, axis=0)
+        else:
+            pad = lambda x: x
         out = sharded_march(params, feats, vb, origin, pad(dirs), pad(near), pad(far))
         # ceil: pixel_grid emits ceil(H/stride) x ceil(W/stride) rays
         h, w = -(-height // stride), -(-width // stride)

@@ -34,7 +34,16 @@ def render_rays_chunked(
     """Ray-march N rays in fixed-size chunks via lax.map (eval mode)."""
     n = dirs.shape[0]
     n_pad = (-n) % chunk
-    pad = lambda x: jnp.concatenate([x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)])
+    if n_pad:
+        # pad the last chunk with COPIES of real rays (wrap-around), never
+        # zeros: an all-zero "ray" evaluates the density at the camera
+        # origin and can composite to acc ~ 1 through the 1e10 tail, which
+        # would steal fine_topk_ratio culling slots from real rays in the
+        # last chunk
+        idx = jnp.arange(n + n_pad, dtype=jnp.int32) % n
+        pad = lambda x: jnp.take(x, idx, axis=0)
+    else:
+        pad = lambda x: x
     dirs_p, near_p, far_p = pad(dirs), pad(near), pad(far)
     n_chunks = (n + n_pad) // chunk
     reshape = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
@@ -135,7 +144,7 @@ def render_cameras_scanned(
             model, params, feats, vb, origin, dirs, near, far,
             chunk=chunk, fine=fine,
         )
-        return None, out["rgb_fine"]
+        return None, out["rgb_fine" if fine else "rgb_coarse"]
 
     _, rgb = jax.lax.scan(one, None, (Ks, Rs, ts))
     h, w = -(-height // stride), -(-width // stride)

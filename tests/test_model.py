@@ -299,6 +299,9 @@ def test_patch_clamp_per_axis(model_and_params):
     assert x.min() >= 0 and y.min() >= 0
     assert x.max() == W - 1  # would be min(W-1, H-1) = 15 with the old bug
     assert y.max() == H - 1
+    # the window shifts inside the frame rather than clamping pixels
+    # individually: all P*P patch pixels must be distinct
+    assert len({(int(a), int(b)) for a, b in zip(x, y)}) == len(x)
 
 
 @pytest.mark.parametrize("mode", ["attention_v0", "attention_v1"])
@@ -505,3 +508,21 @@ def test_render_cameras_scanned_matches_render_image(model_and_params):
         np.testing.assert_allclose(
             np.asarray(rgb[f]), np.asarray(single["rgb_fine"]), atol=2e-5
         )
+
+
+def test_render_cameras_scanned_coarse_only(model_and_params):
+    """fine=False must return coarse RGB instead of crashing on the
+    missing rgb_fine key."""
+    from keypointnerf_tpu.render import render_cameras_scanned
+
+    model, params, vb = model_and_params
+    feats = model.apply(
+        params, vb.src_images, vb.src_masks, method=type(model).encode
+    )
+    rgb = render_cameras_scanned(
+        model, params, feats, vb,
+        vb.tar_K[None], vb.tar_R[None], vb.tar_t[None],
+        height=64, width=64, stride=8, chunk=64, fine=False,
+    )
+    assert rgb.shape == (1, 8, 8, 3)
+    assert np.all(np.isfinite(rgb))
