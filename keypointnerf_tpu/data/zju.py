@@ -60,7 +60,14 @@ def get_rays_np(H, W, K, R, T):
 
 def get_near_far_np(bounds, ray_o, ray_d, boffset=(-0.01, 0.01)):
     """Slab ray/AABB with the exactly-two-hits rule
-    (reference zju_dataset.py:389-422). Returns (near, far, hit_mask)."""
+    (reference zju_dataset.py:389-422). Returns (near, far, hit_mask).
+
+    Distances are UNSIGNED (abs) on purpose: the reference computes
+    d0/d1 = ||p_intersect - ray_o|| / ||ray_d|| (zju_dataset.py:416-418),
+    which equals |t| — intersections behind the camera fold to positive
+    depths there too. ZJU cameras always sit outside the subject box, so
+    the quirk is inert for the dataset, but it is kept for parity; use
+    geometry.ray_aabb_intersection for signed free-view clipping."""
     bounds = bounds + np.asarray(boffset)[:, None]
     ray_d = np.where(np.abs(ray_d) < 1e-5, 1e-5, ray_d)
     d_intersect = ((bounds[None] - ray_o[:, None]) / ray_d[:, None]).reshape(-1, 6)
@@ -103,7 +110,8 @@ class ZJUDataset:
         self.max_len = max_len
         self.ratio = image_ratio
         self.n_src = n_source_views
-        self._rng = random.Random(seed)
+        self._seed = seed if seed is not None else 0
+        self._epoch = 0
 
         human_info = get_human_split(split)
         self.cams: Dict[str, dict] = {}
@@ -214,6 +222,12 @@ class ZJUDataset:
         return img, msk, K, R, t
 
     # ----------------------------------------------------------- getitem
+    def set_epoch(self, epoch: int):
+        """Advance the per-epoch view-sampling seed (DistributedSampler
+        pattern); thread-safe because __getitem__ derives a fresh RNG from
+        (seed, epoch, index)."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, index: int):
         img_path = self.ims[index]
         human = self.humans[index]
@@ -226,11 +240,18 @@ class ZJUDataset:
             all_views = list(range(len(self.cams[human]["K"])))
 
         if self.split == "train":
+            # per-(seed, epoch, index) RNG: a shared random.Random mutated
+            # from the prefetcher's threads would make seeded view
+            # selection depend on thread completion order. set_epoch()
+            # (called by the Trainer each epoch) restores cross-epoch
+            # variety, like the reference's evolving global RNG state.
+            # str seeds hash deterministically (random.Random version=2)
+            rng = random.Random(f"{self._seed}-{self._epoch}-{index}")
             pool = list(all_views)
-            self._rng.shuffle(pool)
+            rng.shuffle(pool)
             input_view = pool[: self.n_src]
             tar_pool = [v for v in all_views if v not in input_view]
-            tar_view = self._rng.choice(tar_pool)
+            tar_view = rng.choice(tar_pool)
         else:
             input_view = list(TEST_INPUT_VIEWS)
             tar_view = self.cam_inds[index]

@@ -42,6 +42,17 @@ class Evaluator:
         p = psnr(rgb_pred, rgb_gt)
 
         x, y, w, h = bounding_rect(mask_at_box)
+        # expand degenerate rects to the SSIM window (7): a subject nearly
+        # out of frame would otherwise make structural_similarity raise
+        # (skimage semantics) and abort the whole eval sweep. Real ZJU
+        # frames always exceed this, so the published protocol is untouched.
+        H_img, W_img = rgb_pred.shape[:2]
+        if w < 7:
+            x = max(0, min(x, W_img - 7))
+            w = min(7, W_img)
+        if h < 7:
+            y = max(0, min(y, H_img - 7))
+            h = min(7, H_img)
         crop_pred = rgb_pred[y : y + h, x : x + w]
         crop_gt = rgb_gt[y : y + h, x : x + w]
         s = structural_similarity(crop_pred, crop_gt, multichannel=True)
@@ -71,7 +82,14 @@ class Evaluator:
 
 def eval_saved_images(src_dir: str) -> Dict[str, float]:
     """Offline re-scoring of saved pred/gt PNG trees (reference
-    eval_zju.py:20-44)."""
+    eval_zju.py:20-44).
+
+    Reference-faithful quirk: the saved PNGs are the mask_at_box CROPS
+    (the reference's _compute_ssim writes the cropped images,
+    zju_evaluator.py:26-37), so the offline PSNR here is computed over the
+    crop while the online compute_score PSNR is full-image — exactly the
+    discrepancy the reference's eval_zju.py has. Online numbers are the
+    published protocol; this re-scoring matches the reference tool."""
     import glob
 
     import imageio.v2 as imageio

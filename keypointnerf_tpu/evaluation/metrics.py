@@ -27,9 +27,18 @@ def psnr(img_pred: np.ndarray, img_gt: np.ndarray) -> float:
     return float(-10.0 * np.log(mse) / np.log(10.0))
 
 
-def _ssim_single(x, y, win_size, data_range, K1, K2):
+def _ssim_map(x, y, win_size, data_range, K1, K2):
+    """Edge-cropped per-pixel SSIM map (single channel). The ONE place the
+    7x7 uniform-window formula lives — both the skimage-parity metric and
+    the masked kornia-style metric consume it."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
+    if min(x.shape[:2]) < win_size:
+        # skimage raises here too; returning the NaN of an empty crop
+        # would silently poison run-level metric aggregates
+        raise ValueError(
+            f"image {x.shape[:2]} smaller than win_size={win_size}"
+        )
     NP = win_size**2
     cov_norm = NP / (NP - 1.0)  # skimage use_sample_covariance=True
 
@@ -47,7 +56,11 @@ def _ssim_single(x, y, win_size, data_range, K1, K2):
     )
     # skimage crops the filter's edge effects: pad = (win_size - 1) // 2
     pad = (win_size - 1) // 2
-    return S[pad:-pad, pad:-pad].mean() if pad > 0 else S.mean()
+    return S[pad:-pad, pad:-pad] if pad > 0 else S
+
+
+def _ssim_single(x, y, win_size, data_range, K1, K2):
+    return _ssim_map(x, y, win_size, data_range, K1, K2).mean()
 
 
 def structural_similarity(
@@ -106,20 +119,7 @@ def compute_test_metric(pred, gt, mask=None, max_val: float = 1.0):
 
     vals = []
     for c in range(pred.shape[-1]):
-        x, y = pred[..., c], gt[..., c]
-        NP = win**2
-        cov_norm = NP / (NP - 1.0)
-        filt = lambda a: uniform_filter(a, size=win, mode="reflect")
-        ux, uy = filt(x), filt(y)
-        vx = cov_norm * (filt(x * x) - ux * ux)
-        vy = cov_norm * (filt(y * y) - uy * uy)
-        vxy = cov_norm * (filt(x * y) - ux * uy)
-        C1 = (0.01 * max_val) ** 2
-        C2 = (0.03 * max_val) ** 2
-        S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
-            (ux**2 + uy**2 + C1) * (vx + vy + C2)
-        )
-        S = S[pad:-pad, pad:-pad]
+        S = _ssim_map(pred[..., c], gt[..., c], win, max_val, 0.01, 0.03)
         if mask is not None:
             m = np.asarray(mask, np.float64)[pad:-pad, pad:-pad]
             vals.append(float((S * m).sum() / (m.sum() + 1e-12)))

@@ -47,7 +47,17 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
 
-        sample_vb = to_viewbatch(train_data[0])
+        # first LOADABLE sample: __getitem__ returns None for samples with
+        # missing files (the None-dropping collate contract), which must
+        # not make the Trainer unconstructable
+        first = next(
+            (s for s in (train_data[i] for i in range(len(train_data)))
+             if s is not None),
+            None,
+        )
+        if first is None:
+            raise ValueError("train_data yielded no loadable samples")
+        sample_vb = to_viewbatch(first)
         self.state = create_train_state(
             model, sample_vb, cfg.optim, seed=cfg.seed, vgg_params=vgg_params
         )
@@ -92,8 +102,12 @@ class Trainer:
                     while next_pos < len(submitted) and submitted[next_pos] in ready:
                         s = ready.pop(submitted[next_pos])
                         next_pos += 1
-                        if not isinstance(s, Exception):
-                            yield s
+                        if isinstance(s, Exception):
+                            # propagate like the inline path would —
+                            # silently dropping would shrink the epoch
+                            # only when the prefetcher is on
+                            raise s
+                        yield s
             finally:
                 pf.close()
         else:
@@ -101,6 +115,8 @@ class Trainer:
                 yield self.train_data[int(idx)]
 
     def _batch_iterator(self, epoch: int) -> Iterable[ViewBatch]:
+        if hasattr(self.train_data, "set_epoch"):
+            self.train_data.set_epoch(epoch)  # per-epoch view-sampling seed
         n = len(self.train_data)
         order = np.random.default_rng(self.cfg.seed + epoch).permutation(n)
         batch = []
@@ -129,9 +145,15 @@ class Trainer:
             return
         rng = jax.random.key(0)
         errs = []
-        n_val = min(len(self.val_data), self.cfg.data.max_len_val)
+        max_len = self.cfg.data.max_len_val
+        # max_len_val < 0 means "no limit" (the ZJUDataset max_len
+        # convention), not "zero samples"
+        n_val = len(self.val_data) if max_len < 0 else min(len(self.val_data), max_len)
+        sample0 = None
         for i in range(n_val):
             sample = self.val_data[i]
+            if i == 0:
+                sample0 = sample
             if sample is None:
                 continue
             vb = to_viewbatch(sample)
@@ -144,7 +166,8 @@ class Trainer:
             self._last_val_loss = mean_err["e_all"]
             self._last_val_step = step
         # image strip: strided render of val sample 0 (reference model.py:519)
-        sample = self.val_data[0]
+        # — reuse the sample already loaded by the metrics loop above
+        sample = sample0 if n_val > 0 else self.val_data[0]
         if sample is not None:
             vb = to_viewbatch(sample)
             H, W = np.asarray(vb.tar_image).shape[:2]
@@ -179,7 +202,13 @@ class Trainer:
         points_per_step = rays_per_step * (2 * mc.n_coarse + mc.n_fine)
         timer = StepTimer(window=cfg.log_every_steps)
         window = []
-        for epoch in range(cfg.max_epochs):
+        # resume the EPOCH schedule too, not just the optimizer step — a
+        # restarted finished run must not train max_epochs extra epochs,
+        # and per-epoch data orders (seeded seed+epoch) must not replay
+        # (reference Lightning resume restores the epoch, train.py:44-50)
+        steps_per_epoch = max(1, len(self.train_data) // self.n_dev)
+        start_epoch = min(step // steps_per_epoch, cfg.max_epochs)
+        for epoch in range(start_epoch, cfg.max_epochs):
             for batch in self._batch_iterator(epoch):
                 self.state, err = self.train_step(self.state, batch, rng)
                 timer.tick()

@@ -184,3 +184,39 @@ def test_create_train_state_leaves_are_device_arrays():
     state = create_train_state(KeypointNeRF(TINY), vb, OptimConfig())
     for leaf in jax.tree.leaves(state.params):
         assert type(leaf).__name__ == "ArrayImpl", type(leaf)
+
+
+def test_fit_resumes_epoch_schedule(tmp_path):
+    """A restarted run that already consumed its epoch budget must not
+    train further: resume restores the EPOCH schedule, not just the
+    optimizer step (reference Lightning resume, train.py:44-50)."""
+    from keypointnerf_tpu.data import SyntheticConfig, SyntheticDataset
+    from keypointnerf_tpu.models import KeypointNeRF
+    from keypointnerf_tpu.training.loop import Trainer
+    from keypointnerf_tpu.utils import load_config
+
+    ds = SyntheticDataset(SyntheticConfig(image_size=32), length=8)
+    overrides = {
+        "out_dir": str(tmp_path), "max_epochs": 1, "val_every_steps": 10**9,
+        "ckpt_every_steps": 10**9, "log_every_steps": 10**9,
+        "model.n_coarse": 4, "model.n_fine": 4, "model.patch_h": 4,
+        "model.patch_w": 4, "model.geo_n_downsample": 2,
+        "loss.lambda_vgg": 0.0, "data.num_workers": 0,
+    }
+    cfg = load_config(None, overrides)
+    model = KeypointNeRF(cfg.model)
+    n_dev = Trainer(cfg, model, ds, val_data=None).n_dev
+    if len(ds) < n_dev:
+        import pytest
+
+        pytest.skip("dataset smaller than device count")
+    state = Trainer(cfg, model, ds, val_data=None).fit()
+    steps_done = int(state.step)
+    assert steps_done == len(ds) // n_dev  # one full epoch
+
+    # reconstruct: auto-resume restores the checkpoint; fit() must be a
+    # no-op because the epoch budget is already consumed
+    trainer2 = Trainer(cfg, model, ds, val_data=None)
+    assert int(trainer2.state.step) == steps_done
+    state2 = trainer2.fit()
+    assert int(state2.step) == steps_done

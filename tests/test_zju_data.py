@@ -180,3 +180,33 @@ def test_trainer_feeds_zju_samples(zju_tree, monkeypatch, tmp_path):
     trainer = Trainer(cfg, model, ds, val_data=None)
     state = trainer.fit(max_steps=1)
     assert int(state.step) == 1
+
+
+def test_view_sampling_deterministic_and_epoch_varied(zju_tree, monkeypatch):
+    """Train-split view selection must be a pure function of
+    (seed, epoch, index) — independent of call order (the prefetcher calls
+    __getitem__ from threads) — and must vary across epochs."""
+    root, human = zju_tree
+    _single_human_split(monkeypatch, human)
+    ds_a = ZJUDataset(root, "train", seed=5)
+    ds_b = ZJUDataset(root, "train", seed=5)
+
+    # different access ORDER, same per-index results
+    picks_a = [ds_a[i] for i in range(len(ds_a))]
+    picks_b = [ds_b[i] for i in reversed(range(len(ds_b)))][::-1]
+    for a, b in zip(picks_a, picks_b):
+        if a is None or b is None:
+            assert a is b
+            continue
+        np.testing.assert_array_equal(a["tar_K"], b["tar_K"])
+        np.testing.assert_array_equal(a["src_K"], b["src_K"])
+        np.testing.assert_array_equal(a["tar_R"], b["tar_R"])
+
+    # epochs change the draw (over all indices, at least one differs)
+    ds_a.set_epoch(1)
+    picks_e1 = [ds_a[i] for i in range(len(ds_a))]
+    assert any(
+        not np.array_equal(a["tar_R"], c["tar_R"])
+        for a, c in zip(picks_a, picks_e1)
+        if a is not None and c is not None
+    )
