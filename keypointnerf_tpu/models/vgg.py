@@ -41,14 +41,21 @@ LOSS_WEIGHTS = (1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
 class VGG19Features(nn.Module):
-    """First four VGG19 slices, NHWC. Input: (..., H, W, 3) in [0, 1]."""
+    """First four VGG19 slices, NHWC. Input: (..., H, W, 3) in [0, 1].
+
+    `slices` defaults to the real VGG19 layout; smaller layouts (used by
+    tests and the multi-chip dryrun, where only the loss PLUMBING is under
+    test) reuse the same naming so `vgg_loss` can reconstruct the
+    architecture from the params alone."""
+
+    slices: tuple = _SLICES
 
     @nn.compact
     def __call__(self, x):
         x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
         outs = []
         prev_w = None
-        for si, widths in enumerate(_SLICES):
+        for si, widths in enumerate(self.slices):
             for wi, w in enumerate(widths):
                 # VGG pools exactly where the channel width doubles
                 if prev_w is not None and w != prev_w:
@@ -60,11 +67,27 @@ class VGG19Features(nn.Module):
         return outs
 
 
-def init_vgg_params(rng=None):
+def _slices_from_params(vgg_params) -> tuple:
+    """Reconstruct the slice layout from a params tree (conv_{si}_{wi}
+    naming + kernel output widths) so callers need only the params."""
+    p = vgg_params["params"]
+    out = []
+    si = 0
+    while f"conv_{si}_0" in p:
+        widths, wi = [], 0
+        while f"conv_{si}_{wi}" in p:
+            widths.append(int(p[f"conv_{si}_{wi}"]["kernel"].shape[-1]))
+            wi += 1
+        out.append(tuple(widths))
+        si += 1
+    return tuple(out)
+
+
+def init_vgg_params(rng=None, slices: tuple = _SLICES):
     """Random frozen VGG feature params (fallback when no weights file)."""
     if rng is None:
         rng = jax.random.key(42)
-    model = VGG19Features()
+    model = VGG19Features(slices=slices)
     dummy = jnp.zeros((1, 64, 64, 3))
     return model.init(rng, dummy)
 
@@ -100,7 +123,7 @@ def vgg_loss(vgg_params, pred, target):
     """
     if pred.ndim == 3:
         pred, target = pred[None], target[None]
-    model = VGG19Features()
+    model = VGG19Features(slices=_slices_from_params(vgg_params))
     fp = model.apply(vgg_params, pred)
     ft = model.apply(vgg_params, jax.lax.stop_gradient(target))
     loss = 0.0

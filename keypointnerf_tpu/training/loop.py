@@ -4,10 +4,19 @@ Lightning.
 
 Structure per step: host loads the next sample(s) (numpy), device runs the
 jitted (optionally sharded) train step, host logs scalars. Validation runs
-every `val_every_steps`: patch losses on the val set + an optional strided
-full-image render logged as an image strip (reference validation_step,
-src/model.py:509-526). Auto-resume from the newest checkpoint mirrors
-reference train.py:44-50.
+every `val_every_steps`: batched data-sharded patch losses on the val set
++ a strided full-image render logged as an image strip (reference
+validation_step, src/model.py:509-526). Auto-resume from the newest
+checkpoint mirrors reference train.py:44-50.
+
+Multi-host: the mesh spans every process (`jax.distributed.initialize`
+done by the caller). Each process loads only its own
+`global_batch / process_count` samples per step and contributes them as
+the local shards of one global array (`make_global_batch`) — the
+TPU-native equivalent of the per-rank dataloaders the reference gets from
+Lightning DDP (reference train.py:64-71). The optimizer state is
+replicated across the whole mesh; checkpoint saves are orbax-coordinated
+across processes; scalar/image logging stays host-0-only.
 """
 from __future__ import annotations
 
@@ -19,14 +28,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.keypoint_nerf import KeypointNeRF, ViewBatch
-from ..parallel import make_mesh, make_sharded_train_step, stack_batch
-from ..training import create_train_state, jit_eval_step
+from ..parallel import (
+    make_global_batch,
+    make_mesh,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    replicated,
+)
+from ..training import create_train_state
 from ..utils import CheckpointManager, ExperimentConfig, MetricsWriter, save_config
 
 
 def to_viewbatch(sample: dict) -> ViewBatch:
     return ViewBatch(
         **{k: jnp.asarray(v) for k, v in sample.items() if k != "meta"}
+    )
+
+
+def to_np_viewbatch(sample: dict) -> ViewBatch:
+    """ViewBatch of numpy leaves — host-side staging for the global-batch
+    builder (arrays must stay on the host until
+    `jax.make_array_from_process_local_data` places the shards)."""
+    return ViewBatch(
+        **{k: np.asarray(v) for k, v in sample.items() if k != "meta"}
     )
 
 
@@ -46,10 +70,20 @@ class Trainer:
         self.val_data = val_data
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
+        self.rank = jax.process_index()
+        self.n_proc = jax.process_count()
+        self.global_batch = self.n_dev * cfg.data.batch_per_device
+        if self.global_batch % self.n_proc:
+            raise ValueError(
+                f"global batch {self.global_batch} not divisible by "
+                f"{self.n_proc} processes"
+            )
+        self.local_batch = self.global_batch // self.n_proc
 
         # first LOADABLE sample: __getitem__ returns None for samples with
         # missing files (the None-dropping collate contract), which must
-        # not make the Trainer unconstructable
+        # not make the Trainer unconstructable. Also kept as the multi-host
+        # substitution sample (see _batch_iterator).
         first = next(
             (s for s in (train_data[i] for i in range(len(train_data)))
              if s is not None),
@@ -57,16 +91,22 @@ class Trainer:
         )
         if first is None:
             raise ValueError("train_data yielded no loadable samples")
+        self._fallback_sample = first
         sample_vb = to_viewbatch(first)
         self.state = create_train_state(
             model, sample_vb, cfg.optim, seed=cfg.seed, vgg_params=vgg_params
         )
+        # commit the replicated state to the WHOLE mesh up front: in
+        # multi-process runs, process-local arrays cannot feed a jit whose
+        # in_shardings span the global mesh (every process holds the same
+        # seeded init, so this is a host-local placement, no transfer)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         self.train_step = make_sharded_train_step(model, cfg.loss, self.mesh)
-        self.eval_step = jit_eval_step(model, cfg.loss)
 
         self._last_val_loss = None   # newest val/total_loss, for best-ckpt tracking
         self._last_val_step = None   # step it was measured at
         self._val_render = None      # lazily-built sharded validation renderer
+        self._val_step = None        # lazily-built sharded validation loss step
         out_dir = os.path.join(cfg.out_dir, cfg.name)
         self.out_dir = out_dir
         self.metrics = MetricsWriter(out_dir)
@@ -74,10 +114,14 @@ class Trainer:
         if jax.process_index() == 0:
             save_config(cfg, out_dir)
 
-        # auto-resume (reference train.py:44-50)
+        # auto-resume (reference train.py:44-50); the epoch schedule rides
+        # in the checkpoint's extra metadata, like Lightning's ckpt `epoch`
+        # field (reference src/model.py:113-117)
+        self._resume_epoch = 0
         restored, step = self.ckpt.restore(self.state)
         if restored is not None:
             self.state = restored
+            self._resume_epoch = int(self.ckpt.load_extra(step).get("epoch", 0))
             print(f"resumed from checkpoint step {step}")
 
     def _sample_stream(self, order):
@@ -115,17 +159,52 @@ class Trainer:
                 yield self.train_data[int(idx)]
 
     def _batch_iterator(self, epoch: int) -> Iterable[ViewBatch]:
+        """Yield globally-sharded batches for one epoch.
+
+        Single-process: the reference None-dropping collate — unloadable
+        samples are skipped, a trailing partial batch is dropped.
+
+        Multi-process: every process derives the SAME seeded global
+        permutation, pads it by wrapping to a multiple of the global batch
+        (the DistributedSampler contract — all ranks take the same number
+        of steps), and loads only its own column block. A sample that
+        fails to load is SUBSTITUTED with the first loadable sample rather
+        than dropped: per-rank dropping would desynchronize the ranks'
+        step counts and deadlock the gradient psum (the reference's
+        None-collate has exactly this bug under DDP, src/model.py:102-111
+        + train.py:71 — substitution is the correct fix, not a parity
+        break worth keeping).
+        """
         if hasattr(self.train_data, "set_epoch"):
             self.train_data.set_epoch(epoch)  # per-epoch view-sampling seed
         n = len(self.train_data)
         order = np.random.default_rng(self.cfg.seed + epoch).permutation(n)
+        if self.n_proc == 1:
+            batch = []
+            for sample in self._sample_stream(order):
+                if sample is None:  # None-dropping collate (reference model.py:102-111)
+                    continue
+                batch.append(to_np_viewbatch(sample))
+                if len(batch) == self.global_batch:
+                    yield make_global_batch(self.mesh, batch)
+                    batch = []
+            return
+        B = self.global_batch
+        pad = (-n) % B
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        # process p owns global batch slots [p*local, (p+1)*local) — the
+        # mesh device order is process-major (see make_global_batch)
+        local_order = order.reshape(-1, B)[
+            :, self.rank * self.local_batch : (self.rank + 1) * self.local_batch
+        ].reshape(-1)
         batch = []
-        for sample in self._sample_stream(order):
-            if sample is None:  # None-dropping collate (reference model.py:102-111)
-                continue
-            batch.append(to_viewbatch(sample))
-            if len(batch) == self.n_dev:
-                yield stack_batch(batch)
+        for sample in self._sample_stream(local_order):
+            if sample is None:
+                sample = self._fallback_sample  # substitution (docstring)
+            batch.append(to_np_viewbatch(sample))
+            if len(batch) == self.local_batch:
+                yield make_global_batch(self.mesh, batch)
                 batch = []
 
     def _val_metrics(self, step):
@@ -141,35 +220,61 @@ class Trainer:
         return {"val_total_loss": float(self._last_val_loss)}
 
     def validate(self, step: int):
+        """Validation losses + an image strip (reference validation_step,
+        src/model.py:509-526). The metric loop is BATCHED across the mesh's
+        data axis — one sharded program per ceil(n_val / global_batch)
+        batches instead of a serial per-sample loop on chip 0; wrap-padding
+        and unloadable samples carry weight 0 in the mean."""
         if self.val_data is None:
             return
         rng = jax.random.key(0)
-        errs = []
         max_len = self.cfg.data.max_len_val
         # max_len_val < 0 means "no limit" (the ZJUDataset max_len
         # convention), not "zero samples"
         n_val = len(self.val_data) if max_len < 0 else min(len(self.val_data), max_len)
-        sample0 = None
-        for i in range(n_val):
-            sample = self.val_data[i]
-            if i == 0:
-                sample0 = sample
-            if sample is None:
-                continue
-            vb = to_viewbatch(sample)
-            errs.append(self.eval_step(self.state, vb, rng))
-        if errs:
-            mean_err = jax.tree.map(lambda *xs: float(np.mean([float(x) for x in xs])), *errs)
+        if self._val_step is None:
+            self._val_step = make_sharded_eval_step(
+                self.model, self.cfg.loss, self.mesh
+            )
+        from ..parallel import data_sharding
+
+        B, Bl = self.global_batch, self.local_batch
+        err_sums, w_total = None, 0.0
+        for b0 in range(0, n_val, B):
+            locs, ws = [], []
+            for j in range(Bl):
+                gi = b0 + self.rank * Bl + j  # this slot's global val index
+                sample = self.val_data[gi] if gi < n_val else None
+                w = 1.0 if sample is not None else 0.0
+                if sample is None:
+                    sample = self._fallback_sample  # weight-0 filler
+                locs.append(to_np_viewbatch(sample))
+                ws.append(w)
+            batch = make_global_batch(self.mesh, locs)
+            weights = jax.make_array_from_process_local_data(
+                data_sharding(self.mesh), np.asarray(ws, np.float32), (B,)
+            )
+            sums, wsum = self._val_step(self.state, batch, weights, rng)
+            sums = jax.tree.map(float, sums)
+            err_sums = (
+                sums if err_sums is None
+                else {k: err_sums[k] + sums[k] for k in sums}
+            )
+            w_total += float(wsum)
+        if err_sums is not None and w_total > 0:
+            mean_err = {k: v / w_total for k, v in err_sums.items()}
             self.metrics.scalars(step, {"total_loss": mean_err["e_all"], **mean_err}, prefix="val/")
             # tracked by the checkpoint manager for best-model selection
             # (reference ModelCheckpoint monitors min val_total_loss)
             self._last_val_loss = mean_err["e_all"]
             self._last_val_step = step
-        # image strip: strided render of val sample 0 (reference model.py:519)
-        # — reuse the sample already loaded by the metrics loop above
-        sample = sample0 if n_val > 0 else self.val_data[0]
+        # image strip: strided render of val sample 0 (reference model.py:519).
+        # Every process loads it — the sharded render is a collective, so
+        # all ranks must take the same branch (the filesystem is assumed
+        # consistent across hosts, as it is for any shared dataset).
+        sample = self.val_data[0]
         if sample is not None:
-            vb = to_viewbatch(sample)
+            vb = jax.device_put(to_np_viewbatch(sample), replicated(self.mesh))
             H, W = np.asarray(vb.tar_image).shape[:2]
             stride = max(1, H // 128)
             if self._val_render is None:
@@ -198,16 +303,17 @@ class Trainer:
         mc = self.model.cfg
         rng = jax.random.key(cfg.seed)
         step = int(self.state.step)
-        rays_per_step = mc.patch_h * mc.patch_w * self.n_dev
+        rays_per_step = mc.patch_h * mc.patch_w * self.global_batch
         points_per_step = rays_per_step * (2 * mc.n_coarse + mc.n_fine)
         timer = StepTimer(window=cfg.log_every_steps)
         window = []
         # resume the EPOCH schedule too, not just the optimizer step — a
         # restarted finished run must not train max_epochs extra epochs,
-        # and per-epoch data orders (seeded seed+epoch) must not replay
-        # (reference Lightning resume restores the epoch, train.py:44-50)
-        steps_per_epoch = max(1, len(self.train_data) // self.n_dev)
-        start_epoch = min(step // steps_per_epoch, cfg.max_epochs)
+        # and per-epoch data orders (seeded seed+epoch) must not replay.
+        # The epoch rides in the checkpoint's extra metadata (set in
+        # __init__), like Lightning's ckpt `epoch` field
+        # (reference train.py:44-50, src/model.py:113-117).
+        start_epoch = min(self._resume_epoch, cfg.max_epochs)
         for epoch in range(start_epoch, cfg.max_epochs):
             for batch in self._batch_iterator(epoch):
                 self.state, err = self.train_step(self.state, batch, rng)
@@ -225,12 +331,16 @@ class Trainer:
                 if step % cfg.val_every_steps == 0:
                     self.validate(step)
                 if step % cfg.ckpt_every_steps == 0:
-                    self.ckpt.save(step, self.state, metrics=self._val_metrics(step))
+                    self.ckpt.save(step, self.state, metrics=self._val_metrics(step),
+                                   extra={"epoch": epoch})
                 if max_steps is not None and step >= max_steps:
-                    self.ckpt.save(step, self.state, metrics=self._val_metrics(step))
+                    self.ckpt.save(step, self.state, metrics=self._val_metrics(step),
+                                   extra={"epoch": epoch})
                     self.ckpt.wait()
                     return self.state
-            # checkpoint at epoch end (reference save_on_train_epoch_end)
-            self.ckpt.save(step, self.state, metrics=self._val_metrics(step))
+            # checkpoint at epoch end (reference save_on_train_epoch_end);
+            # epoch+1: this epoch's data is fully consumed
+            self.ckpt.save(step, self.state, metrics=self._val_metrics(step),
+                           extra={"epoch": epoch + 1})
         self.ckpt.wait()
         return self.state

@@ -41,10 +41,21 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
-    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None,
+             extra: Optional[dict] = None):
+        """Save the train state plus an optional JSON `extra` sidecar.
+
+        `extra` carries training-schedule metadata that must survive a
+        restart but does not belong in the state pytree — e.g. the current
+        epoch, which the reference gets for free from Lightning's ckpt
+        `epoch` field (reference src/model.py:113-117). Stored as an orbax
+        Composite item so multi-host saves stay coordinated."""
         self._mgr.save(
             step,
-            args=ocp.args.StandardSave(state),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                extra=ocp.args.JsonSave(extra or {}),
+            ),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
 
@@ -61,8 +72,26 @@ class CheckpointManager:
                 step = self._mgr.latest_step()
         if step is None:
             return None, None
-        state = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
-        return state, step
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(state_template)),
+        )
+        return restored["state"], step
+
+    def load_extra(self, step: Optional[int] = None) -> dict:
+        """The JSON `extra` metadata saved alongside a checkpoint ({} when
+        none was stored or the step predates the sidecar)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return {}
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.Composite(extra=ocp.args.JsonRestore())
+            )
+            return dict(restored["extra"] or {})
+        except (KeyError, FileNotFoundError, ValueError):
+            return {}
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

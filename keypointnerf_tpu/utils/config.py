@@ -34,6 +34,10 @@ class DataConfig:
     # stuck XLA InProcessCommunicator all-reduce (see memory notes); real
     # TPU meshes don't use that communicator.
     num_workers: int = 0
+    # samples per device per optimizer step (global batch = this * n_dev).
+    # The reference trains at batch 1/GPU (reference src/model.py:46); >1
+    # amortizes the CNN encoder cost across samples on big-HBM chips.
+    batch_per_device: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

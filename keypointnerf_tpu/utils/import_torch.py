@@ -235,7 +235,8 @@ def _ibr_head(sd: _SD, key: str) -> Dict:
     }
 
 
-def convert_reference_state_dict(state_dict: Mapping[str, object], cfg=None):
+def convert_reference_state_dict(state_dict: Mapping[str, object], cfg=None,
+                                 strict: bool = False):
     """Convert a reference KeypointNeRF state_dict to this repo's Flax params.
 
     Args:
@@ -243,6 +244,9 @@ def convert_reference_state_dict(state_dict: Mapping[str, object], cfg=None):
         LightningModule's "model." prefix (reference src/model.py:42) or be
         bare KeypointNeRF keys.
       cfg: KeypointNeRFConfig (defaults used when None).
+      strict: raise (instead of warn) if any model tensor in `state_dict`
+        was not consumed by the conversion — the audit that every reference
+        layer found a home (frozen vgg_loss buffers are always exempt).
     Returns:
       {"params": ...} matching KeypointNeRF.init's tree.
     """
@@ -273,10 +277,13 @@ def convert_reference_state_dict(state_dict: Mapping[str, object], cfg=None):
         and not k.startswith(prefix + "vgg_loss")
     ]
     if leftover:
+        msg = (f"unconverted reference tensors: {sorted(leftover)[:8]}"
+               f" (+{max(0, len(leftover) - 8)} more)")
+        if strict:
+            raise ValueError(msg)
         import warnings
 
-        warnings.warn(f"unconverted reference tensors: {sorted(leftover)[:8]}"
-                      f" (+{max(0, len(leftover) - 8)} more)")
+        warnings.warn(msg)
 
     import jax.numpy as jnp
     import jax

@@ -41,9 +41,11 @@ def render_once(preset, size, chunk):
         fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
     )
     if preset == "strict":
+        # matches bench.py's strict_cfg: exact per-map lookups, no culling,
+        # exact coarse-value reuse kept (identical outputs)
         cfg = dataclasses.replace(
             cfg, fused_feature_map=False, fine_topk_ratio=1.0,
-            coarse_topk_ratio=1.0, reuse_coarse_eval=False,
+            coarse_topk_ratio=1.0,
         )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
     cpu = jax.devices("cpu")[0]

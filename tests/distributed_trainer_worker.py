@@ -1,0 +1,66 @@
+"""Worker for the 2-process REAL-Trainer distributed test.
+
+Run by tests/test_distributed.py as: python distributed_trainer_worker.py
+<proc_id> <n_proc> <port> <out_dir>. Unlike distributed_worker.py (a toy
+least-squares model), this drives the actual `Trainer.fit` across two
+processes — the full multi-host story the reference gets from Lightning
+DDP (reference train.py:64-71): per-process data loading feeding
+`jax.make_array_from_process_local_data` global batches, a gradient psum
+that crosses the process boundary, batched sharded validation with a
+collective image-strip render, an orbax multi-host checkpoint save, and a
+restart that restores both the optimizer step and the epoch schedule.
+"""
+import os
+import sys
+
+proc_id, n_proc, port, out_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # the axon plugin overrides env vars
+
+from keypointnerf_tpu.parallel import initialize_distributed
+
+initialize_distributed(f"localhost:{port}", n_proc, proc_id)
+assert jax.process_count() == n_proc, jax.process_count()
+
+import numpy as np
+
+from keypointnerf_tpu.data import SyntheticConfig, SyntheticDataset
+from keypointnerf_tpu.models import KeypointNeRF
+from keypointnerf_tpu.training.loop import Trainer
+from keypointnerf_tpu.utils import load_config
+
+ds = SyntheticDataset(SyntheticConfig(image_size=32), length=8)
+overrides = {
+    "out_dir": out_dir, "max_epochs": 1, "val_every_steps": 2,
+    "ckpt_every_steps": 10**9, "log_every_steps": 1,
+    "model.n_coarse": 4, "model.n_fine": 4, "model.patch_h": 4,
+    "model.patch_w": 4, "model.geo_n_downsample": 2,
+    "loss.lambda_vgg": 0.0, "data.num_workers": 0, "data.max_len_val": 3,
+}
+cfg = load_config(None, overrides)
+model = KeypointNeRF(cfg.model)
+
+trainer = Trainer(cfg, model, ds, val_data=ds)
+assert trainer.n_dev == 2 * n_proc, trainer.n_dev
+assert trainer.local_batch == 2, trainer.local_batch  # 4 global / 2 procs
+
+state = trainer.fit(max_steps=2)  # runs validate at step 2 + ckpt save
+assert int(state.step) == 2, int(state.step)
+# the replicated val loss must exist on every process identically
+assert trainer._last_val_loss is not None and np.isfinite(trainer._last_val_loss)
+
+# restart: orbax multi-host restore of step AND epoch metadata
+trainer2 = Trainer(cfg, model, ds, val_data=ds)
+assert int(trainer2.state.step) == 2, int(trainer2.state.step)
+assert trainer2._resume_epoch == 0  # saved mid-epoch
+p0 = jax.tree.leaves(trainer.state.params)[0]
+p1 = jax.tree.leaves(trainer2.state.params)[0]
+np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+print(f"TRAINER_OK {proc_id} {trainer._last_val_loss:.6f}", flush=True)

@@ -423,3 +423,67 @@ def test_full_state_dict_convert_structure():
     # and the converted params actually run the full model
     out = model.apply(params, vb, True, rngs={"render": jax.random.key(2)})
     assert np.all(np.isfinite(out["rgb_fine"]))
+
+
+def test_full_import_render_golden():
+    """End-to-end import golden (VERDICT r2 item 5): a complete
+    reference-layout state_dict with DETERMINISTIC (numpy-seeded,
+    torch-version-independent) weights is converted in strict mode — every
+    source tensor must be consumed — and the full model renders a fixed
+    synthetic scene to committed numeric goldens. Any drift in a layer
+    mapping (a swapped Dense index, a transposed kernel, a missed
+    weight-norm) changes the image and fails here."""
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+
+    cfg = KeypointNeRFConfig(
+        n_coarse=4, n_fine=4, patch_h=4, patch_w=4, geo_n_downsample=2
+    )
+    hg = THGFilter(n_downsample=2)
+    tex = TResBlkEncoder(out_ch=8, ngf=64, n_down=3, n_blocks=4, n_up=2)
+    mlp1 = TMLPUNet((168, 128, 128, 120, 64), (64, 8), (0, 2))
+    mlp2 = TMLPUNet((128, 64, 64, 2), (), ())
+    ibr = TIBRHead()
+    gc = tnn.Linear(128, 24)
+    sd = {}
+    for mod, name in ((hg, "geo_encoder"), (tex, "tex_encoder"), (ibr, "mlp_tex")):
+        for k, v in mod.state_dict().items():
+            sd[f"model.{name}.{k}"] = v
+    for k, v in mlp1.state_dict().items():
+        sd[f"model.mlp_geo.layers1.{k}"] = v
+    for k, v in mlp2.state_dict().items():
+        sd[f"model.mlp_geo.layers2.{k}"] = v
+    for k, v in gc.state_dict().items():
+        sd[f"model.ibr_compress_gfeat.{k}"] = v
+    # overwrite every tensor with values seeded by ITS KEY: deterministic
+    # across torch versions, and a key/mapping swap cannot cancel out
+    for k, v in sd.items():
+        seed = int.from_bytes(k.encode()[-8:], "little") % (2**31)
+        vals = np.random.default_rng(seed).normal(0.0, 0.08, v.shape)
+        with torch.no_grad():
+            v.copy_(torch.from_numpy(vals.astype(np.float32)))
+
+    params = convert_reference_state_dict(sd, cfg, strict=True)
+
+    model = KeypointNeRF(cfg)
+    sample = make_sample(SyntheticConfig(image_size=32), seed=0)
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, sample))
+    out = model.apply(params, vb, False)  # eval render of the full 32x32 grid
+    img = np.asarray(out["rgb_fine"], np.float64)
+    acc = np.asarray(out["acc_fine"], np.float64)
+    assert img.shape == (32, 32, 3)
+    got = np.array([
+        img.mean(), img.std(),
+        img[16, 20, 0], img[16, 20, 1], img[16, 20, 2], img[14, 18, 1],
+        acc.mean(),
+    ])
+    golden = np.array(GOLDEN_IMPORT_RENDER)
+    np.testing.assert_allclose(got, golden, rtol=2e-3, atol=2e-5,
+                               err_msg=f"got {got.tolist()}")
+
+
+# committed goldens for test_full_import_render_golden (f32 CPU eval render;
+# regenerate ONLY for an intentional semantics change, never to paper over a
+# converter drift): [img mean, img std, 3 pixels, acc mean]
+GOLDEN_IMPORT_RENDER = [0.003172187, 0.0349091355, 0.3886003792, 0.3258670568,
+                        0.3861274123, 0.0018059127, 0.0085666297]
