@@ -194,9 +194,66 @@ def main():
         dt = max(total - t_rt, 1e-9) / n_cameras
         return size * size / dt
 
+    def measure_train():
+        """Full-optimizer-step throughput at the shipped ZJU recipe and the
+        reference's REAL training geometry: 64x64-ray patch, 64+64 samples,
+        bf16 + per-map gathers + remat + matmul gather-VJP, full loss incl.
+        0.5*VGG on random frozen features (reference configs/zju.json:18-23,
+        36-37, 106-111). One jitted lax.scan of K complete steps with
+        scalar-only outputs (relay rule: docs/PERF.md)."""
+        from keypointnerf_tpu.models.vgg import init_vgg_params
+        from keypointnerf_tpu.training import OptimConfig, create_train_state
+        from keypointnerf_tpu.training.losses import LossConfig, compute_losses
+
+        import optax
+
+        train_cfg = KeypointNeRFConfig(
+            compute_dtype=jnp.bfloat16, patch_h=64, patch_w=64,
+            remat=True, train_matmul_gather_vjp=True,
+        )
+        t_model = KeypointNeRF(train_cfg)
+        loss_cfg = LossConfig()
+        with jax.default_device(cpu):
+            state = create_train_state(
+                t_model, vb_cpu, OptimConfig(), vgg_params=init_vgg_params()
+            )
+        state = jax.device_put(state, dev)
+        K = 2
+
+        @jax.jit
+        def run_k(state, vb, seed):
+            def body(s, k):
+                rng = jax.random.fold_in(jax.random.key(0), k + seed)
+
+                def loss_fn(p):
+                    out = t_model.apply(p, vb, True, rngs={"render": rng})
+                    return compute_losses(out, loss_cfg, s.vgg_params)
+
+                (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+                gn = optax.global_norm(grads)
+                return s.apply_gradients(grads=grads), total + 1e-30 * gn
+
+            fin, losses = jax.lax.scan(body, state, jnp.arange(K))
+            chk = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(fin.params))
+            return losses[-1], chk
+
+        l, _ = run_k(state, vb, jnp.asarray(0))
+        float(l)  # compile + warm
+        vb2 = dataclasses.replace(vb, src_images=vb.src_images + jnp.float32(1e-7))
+        t0 = time.perf_counter()
+        float(trivial(zeros))
+        t_rt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        l, _ = run_k(state, vb2, jnp.asarray(1000))
+        float(l)
+        dt = max(time.perf_counter() - t0 - t_rt, 1e-9) / K
+        return 64 * 64 / dt, dt
+
     fast_256 = measure(fast_cfg, 256, 4)
     fast_512 = measure(fast_cfg, 512, 2)
     strict_256 = measure(strict_cfg, 256, 2)
+    strict_512 = measure(strict_cfg, 512, 1)
+    train_rps, train_spstep = measure_train()
 
     print(
         json.dumps(
@@ -208,6 +265,9 @@ def main():
                 "rays_per_sec_512": round(fast_512, 1),
                 "strict_rays_per_sec": round(strict_256, 1),
                 "strict_vs_baseline": round(strict_256 / BASELINE_RAYS_PER_SEC, 3),
+                "strict_rays_per_sec_512": round(strict_512, 1),
+                "train_rays_per_sec": round(train_rps, 1),
+                "train_s_per_step": round(train_spstep, 4),
             }
         )
     )

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Quality-regression gate: train the shipped ZJU recipe (reduced geometry)
+on the synthetic rig, evaluate seen/unseen scenes, and assert thresholds.
+
+The protocol transplants the reference's unseen-subject evaluation
+(/root/reference/README.md:96-102) onto the deterministic synthetic rig so
+recipe changes (bf16, remat, matmul gather-VJP, culling defaults, kernel
+flags) cannot silently regress training quality between rounds
+(VERDICT r2 item 6). Thresholds live in scripts/quality_gate.json next to
+the numbers that set them; the gate FAILS (exit 1) if any floor is broken.
+
+Training is one jitted lax.scan chunk of optimizer steps over a
+device-resident stack of synthetic samples (relay-safe: scalar fetch per
+chunk), using exactly the configs/zju.json recipe flags — bf16 compute,
+per-map gathers (no fused map), remat, train_matmul_gather_vjp — at
+reduced geometry (32x32-ray patch, 32+32 samples, 128^2 images).
+Evaluation renders strict f32 full images (eval_synth protocol).
+
+Usage:
+  python scripts/quality_gate.py [--steps 3000] [--write-thresholds]
+                                 [--cpu] [--steps-chunk 100]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+THRESHOLD_FILE = os.path.join(HERE, "quality_gate.json")
+
+# gate geometry: reduced from the reference's 64^2-ray/64+64-sample step
+# (configs/zju.json) to keep the gate minutes, not hours
+IMAGE = 128
+PATCH = 32
+SAMPLES = 32
+N_TRAIN = 64
+N_EVAL = 3
+UNSEEN_BASE = 100
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps-chunk", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--write-thresholds", action="store_true",
+                    help="record this run's numbers (minus margin) as the "
+                         "new floors instead of asserting")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.evaluation.metrics import psnr, structural_similarity
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+    from keypointnerf_tpu.render import render_image
+    from keypointnerf_tpu.training import OptimConfig, create_train_state
+    from keypointnerf_tpu.training.losses import LossConfig, compute_losses
+
+    # the shipped zju.json recipe flags at gate geometry
+    cfg = KeypointNeRFConfig(
+        compute_dtype=jnp.bfloat16, patch_h=PATCH, patch_w=PATCH,
+        n_coarse=SAMPLES, n_fine=SAMPLES,
+        remat=True, train_matmul_gather_vjp=True,
+    )
+    model = KeypointNeRF(cfg)
+    loss_cfg = LossConfig(lambda_vgg=0.0)  # deterministic gate: no random-VGG
+
+    scfg = SyntheticConfig(image_size=IMAGE, n_views=4)
+    samples = [make_sample(scfg, seed=i) for i in range(N_TRAIN)]
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    with jax.default_device(cpu):
+        vb0 = ViewBatch(**{k: jnp.asarray(v) for k, v in samples[0].items()})
+        stack = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[ViewBatch(**{k: jnp.asarray(v) for k, v in s.items()})
+              for s in samples],
+        )
+        state = create_train_state(model, vb0, OptimConfig(learning_rate=args.lr))
+    state = jax.device_put(state, dev)
+    stack = jax.device_put(stack, dev)
+
+    C = args.steps_chunk
+
+    @jax.jit
+    def run_chunk(state, stack, base):
+        def body(s, k):
+            step = base + k
+            vb = jax.tree.map(lambda x: x[step % N_TRAIN], stack)
+            rng = jax.random.fold_in(jax.random.key(125), step)
+
+            def loss_fn(p):
+                out = model.apply(p, vb, True, rngs={"render": rng})
+                return compute_losses(out, loss_cfg, None)
+
+            (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+            return s.apply_gradients(grads=grads), total
+
+        fin, losses = jax.lax.scan(body, state, jnp.arange(C))
+        return fin, losses[-1]
+
+    t0 = time.time()
+    for base in range(0, args.steps, C):
+        state, last = run_chunk(state, stack, jnp.asarray(base))
+        if (base // C) % 5 == 0:
+            print(f"step {base + C}/{args.steps} loss={float(last):.4f} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    print(f"# trained {args.steps} steps in {time.time() - t0:.0f}s "
+          f"final loss {float(last):.4f}", file=sys.stderr)
+
+    # ---- eval: strict f32 renders (eval_synth protocol) ----
+    eval_cfg = dataclasses.replace(
+        cfg, compute_dtype=jnp.float32, remat=False,
+        train_matmul_gather_vjp=False,
+    )
+    eval_model = KeypointNeRF(eval_cfg)
+    params = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.float32)
+                                         if x.dtype == jnp.bfloat16 else x,
+                                         state.params), dev)
+    results = {}
+    for split, base in (("seen", 0), ("unseen", UNSEEN_BASE)):
+        ps, ss = [], []
+        for seed in range(base, base + N_EVAL):
+            sample = make_sample(scfg, seed=seed)
+            with jax.default_device(cpu):
+                vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+            gt = np.asarray(vb.tar_image, np.float32)
+            out = render_image(eval_model, params, jax.device_put(vb, dev),
+                               height=IMAGE, width=IMAGE, chunk=8192)
+            img = np.clip(np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0)
+            ps.append(float(psnr(img, gt)))
+            ss.append(float(structural_similarity(img, gt, multichannel=True)))
+        results[split] = {"psnr": round(float(np.mean(ps)), 2),
+                          "ssim": round(float(np.mean(ss)), 4)}
+        print(json.dumps({"split": split, **results[split]}), flush=True)
+
+    if args.write_thresholds:
+        margin_psnr, margin_ssim = 1.0, 0.02
+        th = {
+            "protocol": {
+                "steps": args.steps, "image": IMAGE, "patch": PATCH,
+                "samples": SAMPLES, "n_train": N_TRAIN, "n_eval": N_EVAL,
+                "recipe": "bf16 + per-map gathers + remat + mm-vjp, "
+                          "lambda_vgg=0",
+            },
+            "measured": results,
+            "floors": {
+                s: {"psnr": round(r["psnr"] - margin_psnr, 2),
+                    "ssim": round(r["ssim"] - margin_ssim, 4)}
+                for s, r in results.items()
+            },
+        }
+        with open(THRESHOLD_FILE, "w") as f:
+            json.dump(th, f, indent=2)
+        print(f"wrote thresholds -> {THRESHOLD_FILE}")
+        return
+
+    th = json.load(open(THRESHOLD_FILE))
+    if th["protocol"]["steps"] != args.steps:
+        print(f"WARNING: thresholds were set at {th['protocol']['steps']} "
+              f"steps, this run used {args.steps}", file=sys.stderr)
+    failed = []
+    for split, floors in th["floors"].items():
+        for metric, floor in floors.items():
+            got = results[split][metric]
+            ok = got >= floor
+            print(f"{split:7s} {metric}: {got} (floor {floor}) "
+                  f"{'OK' if ok else 'REGRESSION'}")
+            if not ok:
+                failed.append((split, metric, got, floor))
+    if failed:
+        print("QUALITY GATE FAILED", file=sys.stderr)
+        sys.exit(1)
+    print("quality gate passed")
+
+
+if __name__ == "__main__":
+    main()
