@@ -122,9 +122,14 @@ def main():
     # (test_model.py:test_reuse_coarse_eval_exact, atol 3e-5) — an exact
     # implementation optimization, not a semantics change. (gather_lerp is
     # inert here: it only applies to the fused feature map.)
+    # tex_onehot_sample computes the SAME bilinear lookup of the tex map
+    # as one-hot MXU contractions instead of an index-rate-bound gather
+    # (ops/pallas/onehot_bilinear.py): identical clamp/border semantics,
+    # f32-exact (test_pallas.py), bf16 rounding comparable to the gather
+    # blend; +5.9% strict throughput measured on v5e.
     strict_cfg = dataclasses.replace(
         fast_cfg, fused_feature_map=False, nl_relu_approx=False,
-        fine_topk_ratio=1.0, coarse_topk_ratio=1.0,
+        fine_topk_ratio=1.0, coarse_topk_ratio=1.0, tex_onehot_sample=True,
     )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 

@@ -200,6 +200,13 @@ class KeypointNeRFConfig:
     # gather (22x; see docs/PERF.md). Exact same gradient, f32-accumulated.
     # Forward path is unchanged, so eval cost is identical.
     train_matmul_gather_vjp: bool = False
+    # inference: compute the TEX map lookup as one-hot MXU contractions
+    # (ops/pallas/onehot_bilinear.py) instead of an XLA gather. Exact same
+    # bilinear semantics; on v5e the tex map (256^2 x 8ch) is small enough
+    # that the dense arithmetic (~N*H*W*C MACs) beats the ~15 ns/index
+    # gather floor. Strict-path (per-map) lookups only — the fused map
+    # already amortizes its single gather.
+    tex_onehot_sample: bool = False
 
     @property
     def sp_config(self) -> SpatialEncodingConfig:
@@ -525,7 +532,14 @@ class KeypointNeRF(nn.Module):
         if feat_coarse is None:
             feat_coarse = mvbs(feats["geo"][0], xy)  # (V, N, 64)
         if feat_xy is None:
-            feat_xy = mvbs(feats["tex"], xy)         # (V, N, 8)
+            if c.tex_onehot_sample and not train and not self.is_initializing():
+                from ..ops.pallas import multiview_onehot_bilinear_sample
+
+                feat_xy = multiview_onehot_bilinear_sample(
+                    feats["tex"], xy, interpret=c.pallas_interpret
+                )                                    # (V, N, 8) exact, MXU
+            else:
+                feat_xy = mvbs(feats["tex"], xy)     # (V, N, 8)
 
         # relative spatial encoding (reference model.py:771-775 → spatial.py)
         pts_cam = world_to_cam(pts[None], vb.src_R, vb.src_t)    # (V, N, 3)

@@ -5,6 +5,10 @@ from .fused_geo_mlp import (
     geo_mlp_apply,
     sp_geo_mlp_apply,
 )
+from .onehot_bilinear import (
+    multiview_onehot_bilinear_sample,
+    onehot_bilinear_sample,
+)
 
 __all__ = [
     "composite_importance_pallas",
@@ -12,4 +16,6 @@ __all__ = [
     "geo_mlp_apply",
     "fused_geo_mlp_reference",
     "sp_geo_mlp_apply",
+    "multiview_onehot_bilinear_sample",
+    "onehot_bilinear_sample",
 ]

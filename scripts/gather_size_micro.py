@@ -43,9 +43,9 @@ def bench(run, *args):
     return dt
 
 
-def scan_sum(f, fmap, xy):
+def scan_sum(f, fmap, xy, seed):
     def body(acc, k):
-        out = f(fmap, xy + k.astype(jnp.float32) * 1e-6)
+        out = f(fmap, xy + (seed + k).astype(jnp.float32) * 1e-6)
         return acc + jnp.sum(out.astype(jnp.float32)), None
 
     acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))

@@ -175,6 +175,55 @@ def test_dma_gather_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_onehot_bilinear_matches_reference():
+    """One-hot MXU bilinear sampler vs the XLA gather sampler (interpret):
+    identical clamp/border semantics, f32-exact to float rounding."""
+    from keypointnerf_tpu.ops.feat_sample import bilinear_sample
+    from keypointnerf_tpu.ops.pallas.onehot_bilinear import (
+        onehot_bilinear_sample,
+    )
+
+    ks = jax.random.split(jax.random.key(13), 2)
+    feat = jax.random.normal(ks[0], (48, 48, 8))
+    # include out-of-range coords: border clamp must match exactly
+    xy = jax.random.uniform(ks[1], (1500, 2), minval=-1.3, maxval=1.3)
+    ref = bilinear_sample(feat, xy)
+    out = onehot_bilinear_sample(feat, xy, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_model_with_tex_onehot_matches_gather_path():
+    """Full eval render with cfg.tex_onehot_sample on vs off (interpret):
+    the flag is an exact implementation swap, not a semantics change."""
+    import dataclasses
+
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.models import (
+        KeypointNeRF,
+        KeypointNeRFConfig,
+        ViewBatch,
+    )
+
+    base = KeypointNeRFConfig(
+        n_coarse=4, n_fine=4, patch_h=4, patch_w=4, geo_n_downsample=2
+    )
+    sample = make_sample(SyntheticConfig(image_size=32), seed=3)
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, sample))
+    m0 = KeypointNeRF(base)
+    params = m0.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    out0 = m0.apply(params, vb, False)
+    m1 = KeypointNeRF(dataclasses.replace(
+        base, tex_onehot_sample=True, pallas_interpret=True))
+    out1 = m1.apply(params, vb, False)
+    np.testing.assert_allclose(
+        np.asarray(out1["rgb_fine"]), np.asarray(out0["rgb_fine"]),
+        atol=3e-5, rtol=1e-5,
+    )
+
+
 def test_composite_importance_kernel_interpret():
     """Fused composite+importance kernel matches the XLA twins
     (geometry.compositing.composite + geometry.sampling.importance_z,
