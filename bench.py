@@ -162,7 +162,7 @@ def main():
             ts.append(t)
         return jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts))
 
-    def measure(cfg, size, n_cameras):
+    def measure(cfg, size, n_cameras, chunk=CHUNK):
         model = KeypointNeRF(cfg)
         pix = pixel_grid(size, size).astype(jnp.float32)
 
@@ -178,7 +178,7 @@ def main():
                     pix, vb.tar_K, R, t, cfg.znear, cfg.zfar
                 )
                 out = render_rays_chunked(
-                    model, params, feats, vb, origin, dirs, near, far, chunk=CHUNK
+                    model, params, feats, vb, origin, dirs, near, far, chunk=chunk
                 )
                 return acc + jnp.sum(out["rgb_fine"]), None
 
@@ -256,8 +256,11 @@ def main():
 
     fast_256 = measure(fast_cfg, 256, 4)
     fast_512 = measure(fast_cfg, 512, 2)
-    strict_256 = measure(strict_cfg, 256, 2)
-    strict_512 = measure(strict_cfg, 512, 1)
+    # chunk 4096 measured fastest for the strict path (+2% over 8192;
+    # scripts/measure_strict_variants.py) — a scheduling effect, not a
+    # semantics change
+    strict_256 = measure(strict_cfg, 256, 2, chunk=4096)
+    strict_512 = measure(strict_cfg, 512, 1, chunk=4096)
     train_rps, train_spstep = measure_train()
 
     print(

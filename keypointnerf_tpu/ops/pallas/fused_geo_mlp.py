@@ -224,11 +224,13 @@ def fused_geo_mlp_reference(params, sp, f0, f1, mask, weight,
 # ------------------------------------------------------------------------
 # Variant 2: spatial encoding fused IN-KERNEL.
 #
-# NOTE (axon relay): this environment's remote Mosaic compiler rejects the
-# combined kernel with an opaque HTTP 500 even though the isolated spatial
-# encoding and the base MLP kernel both compile and the interpret-mode
-# tests pass; on a directly attached TPU it should lower normally. Kept
-# off by default (cfg.use_pallas_geo_mlp) until verifiable on real HW.
+# HW status (round 3, scripts/probe_sp_fused.py): COMPILES and matches the
+# XLA twin on the real chip at SP_TILE_N <= 256 — the round-2 "opaque
+# HTTP 500" was the remote compiler subprocess dying on VMEM overflow at
+# tile 512 (reproduced: 512 still 500s, 64/128/256 compile in ~10 s).
+# End-to-end it remains flag-gated off: like the base kernel, XLA wins
+# this matmul stack (see docs/PERF.md kernel table for the measured
+# strict-render delta).
 #
 # The rel_z_decay encoding (models/spatial_encoding.py, reference
 # src/spatial.py:105-118) produces a (V, N, 168) f32 tensor — the single

@@ -97,6 +97,15 @@ def main():
             "strict + tex_onehot_sample")
     measure(dataclasses.replace(base, tex_onehot_sample=True), 16384,
             "strict + tex_onehot chunk=16384")
+    measure(dataclasses.replace(base, tex_onehot_sample=True), 4096,
+            "strict + tex_onehot chunk=4096")
+    # sp-fused Pallas geometry MLP (compiles at SP_TILE_N<=256 on HW;
+    # the round-2 HTTP 500 was a VMEM overflow at tile 512)
+    measure(dataclasses.replace(base, use_pallas_geo_mlp=True), 8192,
+            "strict + sp-fused pallas geo MLP")
+    measure(dataclasses.replace(base, use_pallas_geo_mlp=True,
+                                tex_onehot_sample=True), 8192,
+            "strict + sp-fused + tex_onehot")
 
 
 if __name__ == "__main__":
