@@ -141,6 +141,14 @@ class KeypointNeRFConfig:
     # linear approximation of the original bilinear lookup (no sub-pixel
     # shift — align_corners is preserved); train and eval use the same path.
     fused_feature_map: bool = False
+    # build the fused map at HALF the input resolution. Maps with area
+    # <= 256^2 gather at 15.2 ns/patch vs 23.6 at 512^2 on v5e (the
+    # measured two-regime gather floor, docs/PERF.md) — a 512^2-input
+    # model's fused map drops to the fast regime, cutting the dominant
+    # render cost ~35%. Approximation on top of the fused map's own
+    # (hd/rgb/mask are resampled to the half grid); quantify with
+    # scripts/culling_error.py before shipping.
+    fused_map_half: bool = False
     # DMA-pipelined Pallas bilinear gather for the per-point feature lookups
     # (ops/pallas/dma_gather.py): 24-27x faster than the XLA gather on v5e
     # for RANDOM lookups with exact parity, but slower end-to-end in the
@@ -366,34 +374,53 @@ class KeypointNeRF(nn.Module):
         full_res = feat_geo[1].shape[1:3] == src_images.shape[1:3]
         if src_masks is not None and full_res and self.cfg.fused_feature_map:
             H, W = src_images.shape[1:3]
-            grid = pixel_grid(H, W).astype(jnp.float32)
+            V = src_images.shape[0]
+            # fused_map_half: build the packed map on the HALF grid — a
+            # 512^2-input model's map drops into the <=256^2-area gather
+            # regime (15.2 vs 23.6 ns/patch on v5e, docs/PERF.md). The NDC
+            # convention makes downstream sampling size-agnostic.
+            Hm, Wm = (H // 2, W // 2) if self.cfg.fused_map_half else (H, W)
+            grid = pixel_grid(Hm, Wm).astype(jnp.float32)
             xy = jnp.stack(
-                [2.0 * grid[:, 0] / (W - 1.0) - 1.0, 2.0 * grid[:, 1] / (H - 1.0) - 1.0],
+                [2.0 * grid[:, 0] / (Wm - 1.0) - 1.0, 2.0 * grid[:, 1] / (Hm - 1.0) - 1.0],
                 axis=-1,
             )
-            xy = jnp.broadcast_to(xy[None], (src_images.shape[0],) + xy.shape)
+            xy = jnp.broadcast_to(xy[None], (V,) + xy.shape)
             mvbs = (
                 multiview_bilinear_sample_mm
                 if self.cfg.train_matmul_gather_vjp
                 else multiview_bilinear_sample
             )
-            up_coarse = mvbs(feat_geo[0], xy).reshape(
-                src_images.shape[0], H, W, -1
-            )
-            up_tex = mvbs(feat_tex, xy).reshape(
-                src_images.shape[0], H, W, -1
-            )
+            up_coarse = mvbs(feat_geo[0], xy).reshape(V, Hm, Wm, -1)
+            up_tex = mvbs(feat_tex, xy).reshape(V, Hm, Wm, -1)
+            dt = feat_geo[1].dtype
+            if self.cfg.fused_map_half:
+                # hd/rgb/mask live at full res: resample them onto the half
+                # grid with ONE packed gather (encode-time, amortized over
+                # every ray of the render)
+                full_pack = jnp.concatenate(
+                    [feat_geo[1], src_images.astype(dt), src_masks.astype(dt)],
+                    axis=-1,
+                )
+                hd_rgb_mask = mvbs(full_pack, xy).reshape(V, Hm, Wm, -1)
+            else:
+                hd_rgb_mask = jnp.concatenate(
+                    [feat_geo[1], src_images.astype(dt), src_masks.astype(dt)],
+                    axis=-1,
+                )
             # keep the packed map in the compute dtype: the CNN already ran
             # in it, and the upsample's f32 interpolation weights would
             # otherwise promote the concat to f32 — doubling the HBM bytes
-            # of every per-point patch gather downstream (the #1 render cost)
+            # of every per-point patch gather downstream (the #1 render cost).
+            # Channel layout [coarse | hd | tex | rgb | mask] is the
+            # query_points slicing contract.
+            hd_ch = self.cfg.geo_out_ch_hd
             fused = jnp.concatenate(
                 [
-                    up_coarse.astype(feat_geo[1].dtype),
-                    feat_geo[1],
-                    up_tex.astype(feat_geo[1].dtype),
-                    src_images.astype(feat_geo[1].dtype),
-                    src_masks.astype(feat_geo[1].dtype),
+                    up_coarse.astype(dt),
+                    hd_rgb_mask[..., :hd_ch].astype(dt),
+                    up_tex.astype(dt),
+                    hd_rgb_mask[..., hd_ch:].astype(dt),
                 ],
                 axis=-1,
             )

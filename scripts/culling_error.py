@@ -39,6 +39,10 @@ def main():
         help="run dir with config.json + ckpts/ — measure on TRAINED params "
         "(a random-init model underestimates the visual cost of culling)",
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated variant subset (skip recompiling the full table)",
+    )
     args = ap.parse_args()
 
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
@@ -91,7 +95,21 @@ def main():
             fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
             gather_lerp_stride=4,
         ),
+        # half-resolution fused map (gather area-regime lever, docs/PERF.md)
+        "fused_half": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, fused_map_half=True,
+        ),
+        "fast_all_lerp_half": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
+            fused_map_half=True,
+        ),
     }
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(variants)
+        assert not unknown, f"unknown variants: {sorted(unknown)}"
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     dev = jax.devices()[0]
     cpu = jax.devices("cpu")[0]

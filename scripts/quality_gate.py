@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--write-thresholds", action="store_true",
                     help="record this run's numbers (minus margin) as the "
                          "new floors instead of asserting")
+    ap.add_argument("--out_dir", default=None,
+                    help="also save the trained run in Trainer layout "
+                         "(config.json + ckpts/) so culling_error.py / "
+                         "eval_synth.py can consume it as a trained fixture")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -119,6 +123,27 @@ def main():
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
     print(f"# trained {args.steps} steps in {time.time() - t0:.0f}s "
           f"final loss {float(last):.4f}", file=sys.stderr)
+
+    if args.out_dir:
+        import dataclasses as dc
+
+        from keypointnerf_tpu.utils import (
+            CheckpointManager, ExperimentConfig, save_config,
+        )
+        from keypointnerf_tpu.utils.config import DataConfig
+
+        exp = ExperimentConfig(
+            name="quality_gate", out_dir=args.out_dir, max_epochs=1,
+            model=cfg, loss=loss_cfg, optim=dc.replace(
+                OptimConfig(), learning_rate=args.lr),
+            data=DataConfig(dataset="synthetic", image_size=IMAGE),
+        )
+        run_dir = os.path.join(args.out_dir, exp.name)
+        save_config(exp, run_dir)
+        mgr = CheckpointManager(os.path.join(run_dir, "ckpts"))
+        mgr.save(args.steps, state)
+        mgr.wait()
+        print(f"# saved trained run -> {run_dir}", file=sys.stderr)
 
     # ---- eval: strict f32 renders (eval_synth protocol) ----
     eval_cfg = dataclasses.replace(

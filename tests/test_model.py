@@ -156,6 +156,35 @@ def test_fused_feature_map_close_to_default():
 
 
 @pytest.mark.slow
+def test_fused_map_half_close_to_fused():
+    """The half-resolution fused map (gather-regime lever, docs/PERF.md)
+    approximates the full-res fused map; channel layout contract intact."""
+    import dataclasses
+
+    model_f = KeypointNeRF(dataclasses.replace(TINY, fused_feature_map=True))
+    model_h = KeypointNeRF(dataclasses.replace(
+        TINY, fused_feature_map=True, fused_map_half=True))
+    vb = tiny_batch()
+    params = model_f.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    # encode builds the half-size map
+    feats = model_h.apply(params, vb.src_images, vb.src_masks,
+                          method=KeypointNeRF.encode)
+    H, W = vb.src_images.shape[1:3]
+    assert feats["fused"].shape[1:3] == (H // 2, W // 2)
+    # eval render, deterministic. At this toy scale the half map is 32^2,
+    # so the approximation is coarse — this asserts sanity (finite, same
+    # scene, bounded error); the real quality claim is the 512^2
+    # culling_error row on trained params (README table).
+    out_f = model_f.apply(params, vb, False)
+    out_h = model_h.apply(params, vb, False)
+    d = np.abs(np.asarray(out_f["rgb_fine"]) - np.asarray(out_h["rgb_fine"]))
+    assert np.all(np.isfinite(out_h["rgb_fine"]))
+    assert float(d.mean()) < 0.1, float(d.mean())
+
+
+@pytest.mark.slow
 def test_fine_topk_culling_close_to_full(model_and_params):
     """Culled fine pass matches the full render where it matters (rays the
     coarse pass found opaque) and keeps coarse results elsewhere."""
