@@ -113,6 +113,9 @@ def main():
         gather_lerp=True,  # epipolar feature lerp, stride 2: halves the
         # gather index count — the binding resource (docs/PERF.md); GT
         # quality delta +0.02 dB on trained params (README culling table)
+        fused_map_half=True,  # half-res fused map rides the <=256^2-area
+        # 15.2 ns/patch gather regime: +13% measured, GT delta -0.04 dB
+        # on trained params (README culling table)
     )
     # strict reference semantics: march every ray, composite the full
     # 128-depth coarse+fine union, exact per-map bilinear lookups,
