@@ -218,6 +218,11 @@ def main():
         train_cfg = KeypointNeRFConfig(
             compute_dtype=jnp.bfloat16, patch_h=64, patch_w=64,
             remat=True, train_matmul_gather_vjp=True,
+            # round-3 recipe additions (both exact; docs/PERF.md):
+            # save the gathered per-point features for backward instead of
+            # re-gathering, and skip the dead RGB/mask channels of the
+            # packed map in the matmul VJP (automatic with mm-VJP)
+            remat_save_gathers=True,
         )
         t_model = KeypointNeRF(train_cfg)
         loss_cfg = LossConfig()

@@ -31,6 +31,7 @@ Design notes (TPU-native, not a translation):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -64,6 +65,11 @@ from .cnn import HGFilter, ResBlkEncoder
 from .ibr_head import IBRRenderingHead
 from .mlp import GeoFusionMLP
 from .spatial_encoding import SpatialEncodingConfig, spatial_encode, spatial_encoding_dim
+
+# remat-policy tag for the gathered per-point features (see
+# KeypointNeRFConfig.remat_save_gathers). checkpoint_name is a no-op
+# outside jax.checkpoint, so tagging unconditionally is free.
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +138,13 @@ class KeypointNeRFConfig:
     # trades ~1.3x forward FLOPs for O(n_samples) less activation memory,
     # enabling larger patches / batches per chip
     remat: bool = False
+    # with remat: SAVE the per-point gathered feature tensors (tagged
+    # "kpn_gathered") instead of re-gathering them in the backward pass —
+    # the gathers are index-rate-bound (docs/PERF.md) and their saved
+    # footprint is small ((V, N, 12+64+8) vs the MLP activations remat
+    # exists to drop), so this keeps remat's memory win while skipping
+    # its most expensive recompute
+    remat_save_gathers: bool = False
     # single fused feature map: align_corners-upsample the coarse and tex
     # maps to input resolution at encode time and concatenate ALL per-view
     # features ([coarse 64 | hd 8 | tex 8 | rgb 3 | mask 1] = 84 ch) so the
@@ -208,6 +221,12 @@ class KeypointNeRFConfig:
     # gather (22x; see docs/PERF.md). Exact same gradient, f32-accumulated.
     # Forward path is unchanged, so eval cost is identical.
     train_matmul_gather_vjp: bool = False
+    # with train_matmul_gather_vjp: run the dmap contraction as a Pallas
+    # kernel whose accumulator lives in VMEM (ops/pallas/onehot_dmap.py)
+    # instead of XLA's chunked scan, which materializes the (N, W*C)
+    # one-hot product in HBM every chunk (~58 GB/step at the ZJU train
+    # geometry). Exact same gradient.
+    train_pallas_dmap: bool = False
     # inference: compute the TEX map lookup as one-hot MXU contractions
     # (ops/pallas/onehot_bilinear.py) instead of an XLA gather. Exact same
     # bilinear semantics; on v5e the tex map (256^2 x 8ch) is small enough
@@ -485,8 +504,13 @@ class KeypointNeRF(nn.Module):
         co_ch = c.geo_out_ch
         tx_ch = c.tex_out_ch
         feat_coarse = feat_xy = None
+        pallas_dmap = c.train_pallas_dmap and (
+            "interpret" if c.pallas_interpret else True
+        )
         mvbs = (
-            multiview_bilinear_sample_mm
+            functools.partial(
+                multiview_bilinear_sample_mm, pallas_dmap=pallas_dmap
+            )
             if c.train_matmul_gather_vjp
             else multiview_bilinear_sample
         )
@@ -509,7 +533,7 @@ class KeypointNeRF(nn.Module):
                     feats["fused"], xy, n_samples, c.gather_lerp_stride
                 )
             else:
-                fx = mvbs(feats["fused"], xy)  # (V, N, 84)
+                fx = _ckpt_name(mvbs(feats["fused"], xy), "kpn_gathered")  # (V, N, 84)
             feat_coarse = fx[..., :co_ch]
             feat_hd = fx[..., co_ch : co_ch + hd_ch]
             feat_xy = fx[..., co_ch + hd_ch : co_ch + hd_ch + tx_ch]
@@ -517,7 +541,19 @@ class KeypointNeRF(nn.Module):
             img_xy = fx[..., base : base + 3]
             fg = fx[..., base + 3 : base + 4]  # exactly 1 ch (map may be lane-padded)
         elif "full" in feats:
-            full_xy = mvbs(feats["full"], xy)  # (V, N, 12)
+            if c.train_matmul_gather_vjp:
+                # restrict the matmul-VJP map gradient to the hd prefix:
+                # the RGB/mask channels' map gradients die at the
+                # src_images/src_masks input leaves, so their dense
+                # N*H*W*C contraction (the dominant backward term on this
+                # 512^2 map) is skipped exactly (ops/feat_sample.py)
+                full_xy = multiview_bilinear_sample_mm(
+                    feats["full"], xy, grad_channels=hd_ch,
+                    pallas_dmap=pallas_dmap,
+                )  # (V, N, 12)
+            else:
+                full_xy = mvbs(feats["full"], xy)  # (V, N, 12)
+            full_xy = _ckpt_name(full_xy, "kpn_gathered")
             feat_hd = full_xy[..., :hd_ch]
             img_xy = full_xy[..., hd_ch : hd_ch + 3]
             fg = full_xy[..., hd_ch + 3 : hd_ch + 4]
@@ -557,7 +593,7 @@ class KeypointNeRF(nn.Module):
         # pixel-aligned features (reference model.py:761-769); already
         # fetched above when the fused map is in play
         if feat_coarse is None:
-            feat_coarse = mvbs(feats["geo"][0], xy)  # (V, N, 64)
+            feat_coarse = _ckpt_name(mvbs(feats["geo"][0], xy), "kpn_gathered")
         if feat_xy is None:
             if c.tex_onehot_sample and not train and not self.is_initializing():
                 from ..ops.pallas import multiview_onehot_bilinear_sample
@@ -566,7 +602,7 @@ class KeypointNeRF(nn.Module):
                     feats["tex"], xy, interpret=c.pallas_interpret
                 )                                    # (V, N, 8) exact, MXU
             else:
-                feat_xy = mvbs(feats["tex"], xy)     # (V, N, 8)
+                feat_xy = _ckpt_name(mvbs(feats["tex"], xy), "kpn_gathered")
 
         # relative spatial encoding (reference model.py:771-775 → spatial.py)
         pts_cam = world_to_cam(pts[None], vb.src_R, vb.src_t)    # (V, N, 3)
@@ -656,7 +692,14 @@ class KeypointNeRF(nn.Module):
         if train and rng is not None:
             rng, noise_rng = jax.random.split(rng)
         if c.remat and train:
-            query = nn.remat(type(self).query_points, static_argnums=(5, 7))
+            policy = (
+                jax.checkpoint_policies.save_only_these_names("kpn_gathered")
+                if c.remat_save_gathers
+                else None
+            )
+            query = nn.remat(
+                type(self).query_points, static_argnums=(5, 7), policy=policy
+            )
             sdf, rads, rgb, valid = query(
                 self, pts, view_dirs, feats, vb, n_samples, rng, train
             )

@@ -124,6 +124,18 @@ def _bilinear_mm_fwd(feat, xy_ndc):
 
 
 def _bilinear_mm_bwd(res, g):
+    return _mm_bwd_impl(res, g, None, False)
+
+
+def _mm_bwd_impl(res, g, grad_channels, pallas_dmap):
+    """Shared matmul-VJP backward.
+
+    `grad_channels=K` restricts the dmap one-hot contraction to the first
+    K channels (zeros elsewhere) — the N*H*W*C term scales with C, so a
+    caller whose trailing channels are non-parameter data (e.g. the packed
+    [hd | src RGB | fg mask] training map, where RGB/mask gradients die at
+    the input leaves) skips their dense contraction entirely. The
+    coordinate gradient stays full-channel (it is DCE'd when unused)."""
     feat, xy_ndc = res
     H, W, C = feat.shape
     x0, y0, wx, wy, in_x, in_y = _bilinear_coords(xy_ndc, H, W)
@@ -148,6 +160,22 @@ def _bilinear_mm_bwd(res, g):
     dxy = jnp.stack([dx, dy], axis=-1).astype(xy_ndc.dtype)
 
     # --- map gradient: chunked one-hot matmuls, f32 accumulator ---
+    Cg = C if grad_channels is None else min(grad_channels, C)
+    if pallas_dmap:
+        # VMEM-accumulator Pallas kernel: same contraction, no HBM G2
+        # round-trip (ops/pallas/onehot_dmap.py). The static flag value
+        # "interpret" runs the kernel in interpret mode (CPU tests).
+        from .pallas.onehot_dmap import bilinear_dmap_onehot
+
+        dmap = bilinear_dmap_onehot(
+            xy_ndc, gf[:, :Cg], H, W, map_dtype=feat.dtype,
+            interpret=(pallas_dmap == "interpret"),
+        )
+        if Cg < C:
+            dmap = jnp.concatenate(
+                [dmap, jnp.zeros((H, W, C - Cg), dmap.dtype)], axis=-1
+            )
+        return dmap.astype(feat.dtype), dxy
     N = xy_ndc.shape[0]
     chunk = min(N, max(256, 2 ** 20 // max(W, 1)))  # ~1-4k rows typical
     n_pad = (-N) % chunk
@@ -155,7 +183,7 @@ def _bilinear_mm_bwd(res, g):
         [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)]
     ) if n_pad else a
     # padded rows get zero cotangent -> contribute nothing
-    gp = pad(gf).reshape(-1, chunk, C)
+    gp = pad(gf[:, :Cg]).reshape(-1, chunk, Cg)
     x0p = pad(x0).reshape(-1, chunk)
     y0p = pad(y0).reshape(-1, chunk)
     wxp = pad(wx).reshape(-1, chunk)
@@ -172,28 +200,69 @@ def _bilinear_mm_bwd(res, g):
             rows[None] == (y0c + 1)[:, None]
         ) * wyc_[:, None]                                   # (Nc, H) f32
         dt = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
-        G2 = (Xh[:, :, None] * gc[:, None, :]).astype(dt)   # (Nc, W, C)
+        G2 = (Xh[:, :, None] * gc[:, None, :]).astype(dt)   # (Nc, W, Cg)
         acc = acc + jax.lax.dot_general(
-            Yh.astype(dt).T, G2.reshape(chunk, W * C),
+            Yh.astype(dt).T, G2.reshape(chunk, W * Cg),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(H, W, C)
+        ).reshape(H, W, Cg)
         return acc, None
 
     dmap, _ = jax.lax.scan(
-        body, jnp.zeros((H, W, C), jnp.float32), (gp, x0p, y0p, wxp, wyp)
+        body, jnp.zeros((H, W, Cg), jnp.float32), (gp, x0p, y0p, wxp, wyp)
     )
+    if Cg < C:
+        dmap = jnp.concatenate(
+            [dmap, jnp.zeros((H, W, C - Cg), dmap.dtype)], axis=-1
+        )
     return dmap.astype(feat.dtype), dxy
 
 
 bilinear_sample_mm.defvjp(_bilinear_mm_fwd, _bilinear_mm_bwd)
 
 
-def multiview_bilinear_sample_mm(feats, xy_ndc):
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_sample_mm_partial(feat, xy_ndc, grad_channels, pallas_dmap=False):
+    """`bilinear_sample_mm` whose map gradient covers only the first
+    `grad_channels` channels (zeros elsewhere).
+
+    Exact whenever the trailing channels' map gradient is dead — e.g. the
+    packed training map [geo_hd | src RGB | fg mask] (keypoint_nerf.py
+    encode()), where the RGB/mask slices flow back to non-parameter input
+    leaves. Skipping them drops the dmap contraction's N*H*W*C term by
+    (C-K)/C — the dominant backward cost on the 512^2 12-channel map.
+
+    `pallas_dmap` computes the dmap contraction with the VMEM-accumulator
+    kernel (ops/pallas/onehot_dmap.py) instead of the chunked XLA scan."""
+    return bilinear_sample(feat, xy_ndc)
+
+
+def _bilinear_mm_partial_fwd(feat, xy_ndc, grad_channels, pallas_dmap=False):
+    return bilinear_sample(feat, xy_ndc), (feat, xy_ndc)
+
+
+def _bilinear_mm_partial_bwd(grad_channels, pallas_dmap, res, g):
+    return _mm_bwd_impl(res, g, grad_channels, pallas_dmap)
+
+
+bilinear_sample_mm_partial.defvjp(_bilinear_mm_partial_fwd, _bilinear_mm_partial_bwd)
+
+
+def multiview_bilinear_sample_mm(feats, xy_ndc, grad_channels=None,
+                                 pallas_dmap=False):
     """`multiview_bilinear_sample` with the matmul backward (see
     `bilinear_sample_mm`) — the training-path gather when
-    `cfg.train_matmul_gather_vjp` is on."""
-    return jax.vmap(bilinear_sample_mm)(feats, xy_ndc)
+    `cfg.train_matmul_gather_vjp` is on. `grad_channels` restricts the map
+    gradient to a channel prefix; `pallas_dmap` swaps the dmap scan for
+    the VMEM-accumulator kernel (see `bilinear_sample_mm_partial`)."""
+    if grad_channels is None and not pallas_dmap:
+        return jax.vmap(bilinear_sample_mm)(feats, xy_ndc)
+    return jax.vmap(
+        lambda f, x: bilinear_sample_mm_partial(f, x, grad_channels, pallas_dmap)
+    )(feats, xy_ndc)
 
 
 def multiview_bilinear_sample_dma(feats, xy_ndc, interpret=False):

@@ -9,8 +9,10 @@ from .onehot_bilinear import (
     multiview_onehot_bilinear_sample,
     onehot_bilinear_sample,
 )
+from .onehot_dmap import bilinear_dmap_onehot
 
 __all__ = [
+    "bilinear_dmap_onehot",
     "composite_importance_pallas",
     "fold_weight_norm",
     "geo_mlp_apply",

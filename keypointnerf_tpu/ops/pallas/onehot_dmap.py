@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: the bilinear-gather map-gradient as MXU contractions
+with a VMEM-resident accumulator.
+
+The training-path matmul VJP (ops/feat_sample.py:_mm_bwd_impl) computes
+
+    dmap[h, w, c] = sum_n Yw[n, h] * Xw[n, w] * g[n, c]
+
+as a lax.scan of chunked dense dots. That XLA formulation must
+materialize G2[n, w*C+c] = Xw[n, w] * g[n, c] in HBM every chunk —
+N*W*C*2 bytes written and re-read, ~58 GB per optimizer step at the ZJU
+train geometry's packed 512^2 map (docs/PERF.md) — so it runs at ~1/3
+MXU utilization, HBM-strangled.
+
+This kernel keeps the whole pipeline in VMEM: per point-tile it builds
+the expanded column weights DIRECTLY at (P, W*C) width from an int iota
+(no (P, W) -> (P, W*C) expansion matmul), tiles the cotangent with
+pltpu.repeat, and accumulates
+
+    acc(H, W*C) += Yw^T @ (XwE * tile(g, W))
+
+across sequential grid steps with `acc` living in the output VMEM block
+(same block every step). HBM traffic drops to reading xy/g once and
+writing dmap once. The (H, W*C) layout is x-major with C innermost, so
+the wrapper's final reshape to (H, W, C) is free.
+
+Weight/clamp semantics are identical to feat_sample._bilinear_coords
+(align_corners, border clamp, base clamped to S-2): the kernel is an
+EXACT drop-in for the dmap term of the matmul VJP. Coordinate gradients
+(dxy) are not computed here — the caller keeps the XLA path for them
+(dead/DCE'd in training, where sample positions carry no parameter
+dependence).
+
+Reference counterpart: the backward of grid_sample in
+/root/reference/src/utils.py:74-89 (cuDNN scatter on GPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# points per grid step. VMEM tenants at the coarse-map shape
+# (H=W=128, C=64): acc (128, 8192) f32 = 4.2 MB, G' (256, 8192) bf16 =
+# 4.2 MB — comfortably under budget (the sp-fused kernel's HTTP 500 was
+# VMEM overflow at 512-wide tiles of a much larger working set).
+TILE_N = 256
+
+
+def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xy = xy_ref[:]                                   # (P, 2) f32
+    P = xy.shape[0]
+    x = jnp.clip((xy[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+    y = jnp.clip((xy[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+    x0 = jnp.minimum(jnp.floor(x), W - 2)
+    y0 = jnp.minimum(jnp.floor(y), H - 2)
+    wx = (x - x0)[:, None]                           # (P, 1) f32
+    wy = (y - y0)[:, None]
+    x0i = x0.astype(jnp.int32)[:, None]
+    y0i = y0.astype(jnp.int32)[:, None]
+
+    zero = jnp.float32(0.0)
+    # row one-hot weights (P, H)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1)
+    yw = (
+        jnp.where(rows == y0i, 1.0 - wy, zero)
+        + jnp.where(rows == y0i + 1, wy, zero)
+    ).astype(dtype)
+    # expanded column weights built directly at (P, W*C): column k holds
+    # x index k // C (x-major, C innermost)
+    colsx = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1) // C
+    xwe = (
+        jnp.where(colsx == x0i, 1.0 - wx, zero)
+        + jnp.where(colsx == x0i + 1, wx, zero)
+    ).astype(dtype)                                  # (P, W*C)
+    # cotangent tiled over x blocks: position w*C + c holds g[n, c]
+    gt = pltpu.repeat(g_ref[:].astype(dtype), W, axis=1)  # (P, W*C)
+
+    out_ref[:] += jax.lax.dot_general(
+        yw, xwe * gt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (H, W*C) f32
+
+
+def bilinear_dmap_onehot(xy_ndc, g, H, W, map_dtype=jnp.bfloat16,
+                         interpret=False):
+    """Map gradient of `bilinear_sample(feat, xy_ndc)` wrt `feat`.
+
+    Args:
+      xy_ndc: (N, 2) f32 sample locations in [-1, 1].
+      g:      (N, C) cotangent of the sampled output.
+      H, W:   map spatial shape.
+      map_dtype: contraction dtype (matches the XLA VJP's choice: bf16
+        maps contract in bf16 with f32 accumulation, f32 maps in f32).
+    Returns:
+      (H, W, C) f32 dmap (caller casts to the map dtype).
+    """
+    N, C = g.shape
+    dtype = jnp.bfloat16 if map_dtype == jnp.bfloat16 else jnp.float32
+    n_pad = (-N) % TILE_N
+    # padded rows get zero cotangent -> contribute nothing
+    xy = jnp.pad(xy_ndc.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    gp = jnp.pad(g, ((0, n_pad), (0, 0)))
+    n_tiles = (N + n_pad) // TILE_N
+
+    kernel = functools.partial(_kernel, H=H, W=W, C=C, dtype=dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_N, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        # same output block every grid step: a VMEM-resident accumulator
+        out_specs=pl.BlockSpec((H, W * C), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W * C), jnp.float32),
+        interpret=interpret,
+    )(xy, gp)
+    return out.reshape(H, W, C)

@@ -59,6 +59,14 @@ def main():
                          "features when no weights are configured, as train.py)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the point query in the backward pass")
+    ap.add_argument("--save_gathers", action="store_true",
+                    help="with --remat: save the gathered per-point features "
+                         "instead of re-gathering them in backward "
+                         "(cfg.remat_save_gathers)")
+    ap.add_argument("--pallas_dmap", action="store_true",
+                    help="compute the gather backward's dmap contraction "
+                         "with the VMEM-accumulator Pallas kernel "
+                         "(cfg.train_pallas_dmap)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin overrides "
                          "JAX_PLATFORMS; this re-applies it after import)")
@@ -85,6 +93,8 @@ def main():
         train_matmul_gather_vjp=not args.no_mm_vjp,
         fused_feature_map=args.fused,
         remat=args.remat,
+        remat_save_gathers=args.save_gathers,
+        train_pallas_dmap=args.pallas_dmap,
     )
     sample = make_sample(
         SyntheticConfig(image_size=args.image_size, n_views=args.views), seed=0
@@ -166,6 +176,8 @@ def main():
         "matmul_gather_vjp": not args.no_mm_vjp,
         "fused_feature_map": args.fused,
         "remat": args.remat,
+        "remat_save_gathers": args.save_gathers,
+        "train_pallas_dmap": args.pallas_dmap,
         "vgg_term": not args.no_vgg,
         "backend": jax.devices()[0].platform,
     }))

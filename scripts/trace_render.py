@@ -39,13 +39,15 @@ def render_once(preset, size, chunk):
     cfg = KeypointNeRFConfig(
         compute_dtype=jnp.bfloat16, fused_feature_map=True,
         fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
+        gather_lerp=True, fused_map_half=True,  # official fast path (bench.py)
     )
     if preset == "strict":
         # matches bench.py's strict_cfg: exact per-map lookups, no culling,
         # exact coarse-value reuse kept (identical outputs)
         cfg = dataclasses.replace(
             cfg, fused_feature_map=False, fine_topk_ratio=1.0,
-            coarse_topk_ratio=1.0,
+            coarse_topk_ratio=1.0, gather_lerp=False, fused_map_half=False,
+            tex_onehot_sample=True,
         )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
     cpu = jax.devices("cpu")[0]

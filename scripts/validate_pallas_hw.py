@@ -33,7 +33,7 @@ REPS = 8
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
-                    choices=[None, "geo", "sp", "gather", "composite"])
+                    choices=[None, "geo", "sp", "gather", "composite", "dmap"])
     ap.add_argument("--n", type=int, default=65536, help="points per call")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     args = ap.parse_args()
@@ -188,6 +188,53 @@ def main():
                 print(json.dumps({"check": f"dma_gather_hw_c{C}", "error":
                                   traceback.format_exc()[-600:]}), flush=True)
 
+
+    if args.only in (None, "dmap"):
+        # gather-backward dmap: VMEM-accumulator kernel vs the XLA chunked
+        # scan, at the ZJU train-step map shapes (docs/PERF.md round-3)
+        from keypointnerf_tpu.ops.feat_sample import (
+            bilinear_sample_mm,
+            bilinear_sample_mm_partial,
+        )
+
+        for (H, W, C) in ((512, 512, 8), (128, 128, 64), (256, 256, 8)):
+            with jax.default_device(cpu):
+                fmap = jax.random.normal(ks[1], (H, W, C), cdt)
+                xy = jax.random.uniform(ks[2], (N, 2), minval=-1.0, maxval=1.0)
+                g = jax.random.normal(ks[3], (N, C))
+            fmap, xy, g = jax.device_put((fmap, xy, g), dev)
+            try:
+                d_xla = jax.jit(jax.grad(
+                    lambda f: jnp.sum(bilinear_sample_mm(f, xy) * g)))
+                d_pal = jax.jit(jax.grad(
+                    lambda f: jnp.sum(
+                        bilinear_sample_mm_partial(f, xy, None, True) * g)))
+                o_x = np.asarray(d_xla(fmap), np.float32)
+                o_p = np.asarray(d_pal(fmap), np.float32)
+                err = float(np.max(np.abs(o_x - o_p)))
+                scale = float(np.max(np.abs(o_x)) + 1e-9)
+                print(json.dumps({"check": f"dmap_parity_hw_{H}x{C}",
+                                  "max_abs_err": err, "ref_scale": scale,
+                                  "ok": err / scale < 2e-2}), flush=True)
+                vary = lambda i: jnp.clip(xy + 0.0003 * i, -1.0, 1.0)
+                t_x = measure(
+                    f"dmap_xla_{H}x{C}",
+                    lambda i: jnp.sum(jax.grad(
+                        lambda f: jnp.sum(bilinear_sample_mm(f, vary(i)) * g)
+                    )(fmap).astype(jnp.float32)), N)
+                t_p = measure(
+                    f"dmap_pallas_{H}x{C}",
+                    lambda i: jnp.sum(jax.grad(
+                        lambda f: jnp.sum(
+                            bilinear_sample_mm_partial(f, vary(i), None, True) * g)
+                    )(fmap).astype(jnp.float32)), N)
+                print(json.dumps({"check": f"dmap_speedup_{H}x{C}",
+                                  "xla_s": round(t_x, 6),
+                                  "pallas_s": round(t_p, 6),
+                                  "speedup": round(t_x / t_p, 3)}), flush=True)
+            except Exception:
+                print(json.dumps({"check": f"dmap_hw_{H}x{C}", "error":
+                                  traceback.format_exc()[-600:]}), flush=True)
 
     if args.only in (None, "composite"):
         from keypointnerf_tpu.geometry.compositing import composite

@@ -193,6 +193,64 @@ def test_onehot_bilinear_matches_reference():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_onehot_dmap_matches_xla_vjp():
+    """VMEM-accumulator dmap kernel vs the XLA chunked-scan matmul VJP
+    (interpret): same one-hot contraction, same clamp semantics; dxy is
+    untouched (computed by the shared XLA path)."""
+    from keypointnerf_tpu.ops.feat_sample import (
+        bilinear_sample_mm,
+        bilinear_sample_mm_partial,
+    )
+
+    ks = jax.random.split(jax.random.key(21), 3)
+    for H, W, C in [(16, 16, 8), (33, 17, 4)]:
+        feat = jax.random.normal(ks[0], (H, W, C))
+        xy = jax.random.uniform(ks[1], (700, 2), minval=-1.2, maxval=1.2)
+        g = jax.random.normal(ks[2], (700, C))
+        f_ref = lambda f, x: jnp.sum(bilinear_sample_mm(f, x) * g)
+        f_pl = lambda f, x: jnp.sum(
+            bilinear_sample_mm_partial(f, x, None, "interpret") * g
+        )
+        dm_r, dxy_r = jax.grad(f_ref, argnums=(0, 1))(feat, xy)
+        dm_p, dxy_p = jax.grad(f_pl, argnums=(0, 1))(feat, xy)
+        np.testing.assert_allclose(np.asarray(dm_p), np.asarray(dm_r),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dxy_p), np.asarray(dxy_r),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_train_pallas_dmap_grads_match():
+    """Full train-step gradients with cfg.train_pallas_dmap (interpret)
+    must match the plain path on every parameter leaf."""
+    import dataclasses
+
+    from keypointnerf_tpu.data import SyntheticConfig, make_sample
+    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+    from keypointnerf_tpu.training.losses import LossConfig, compute_losses
+
+    tiny = KeypointNeRFConfig(
+        n_coarse=6, n_fine=6, patch_h=6, patch_w=6, geo_n_downsample=2
+    )
+    sample = make_sample(SyntheticConfig(image_size=32), seed=0)
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, sample))
+    rngs = {"params": jax.random.key(0), "render": jax.random.key(1)}
+    m_ref = KeypointNeRF(tiny)
+    m_pl = KeypointNeRF(dataclasses.replace(
+        tiny, train_matmul_gather_vjp=True, train_pallas_dmap=True,
+        pallas_interpret=True))
+    params = m_ref.init(rngs, vb, True)
+
+    def loss(model, p):
+        out = model.apply(p, vb, True, rngs={"render": jax.random.key(2)})
+        return compute_losses(out, LossConfig(), None)[0]
+
+    g_ref = jax.grad(lambda p: loss(m_ref, p))(params)
+    g_pl = jax.grad(lambda p: loss(m_pl, p))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_model_with_tex_onehot_matches_gather_path():
     """Full eval render with cfg.tex_onehot_sample on vs off (interpret):
     the flag is an exact implementation swap, not a semantics change."""

@@ -176,6 +176,66 @@ def test_shipped_recipe_remat_mm_vjp_grads_match():
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_remat_save_gathers_grads_match():
+    """cfg.remat_save_gathers keeps the gathered per-point features for
+    backward (jax.checkpoint policy `save_only_these_names`) instead of
+    re-gathering — a scheduling change only; gradients must be identical
+    to the plain path. Also covers the partial-channel matmul VJP
+    (grad_channels=hd on the packed [hd|rgb|mask] map): the RGB/mask map
+    gradients die at input leaves, so skipping their dmap contraction
+    must not change any parameter gradient."""
+    import dataclasses
+
+    from keypointnerf_tpu.training.losses import compute_losses as cl
+
+    vb = tiny_batch()
+    rngs = {"params": jax.random.key(0), "render": jax.random.key(1)}
+    m_ref = KeypointNeRF(TINY)
+    m_sg = KeypointNeRF(dataclasses.replace(
+        TINY, remat=True, train_matmul_gather_vjp=True,
+        remat_save_gathers=True))
+    params = m_ref.init(rngs, vb, True)
+
+    def loss(model, p):
+        out = model.apply(p, vb, True, rngs={"render": jax.random.key(2)})
+        return cl(out, LossConfig(), None)[0]
+
+    g_ref = jax.grad(lambda p: loss(m_ref, p))(params)
+    g_sg = jax.grad(lambda p: loss(m_sg, p))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_partial_grad_channels_matches_full():
+    """bilinear_sample_mm_partial(grad_channels=K): dmap's first K
+    channels equal the full VJP's, the rest are zeros; dxy is unchanged
+    (full-channel)."""
+    from keypointnerf_tpu.ops.feat_sample import (
+        bilinear_sample_mm,
+        bilinear_sample_mm_partial,
+    )
+
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.normal(size=(9, 7, 6)).astype(np.float32))
+    xy = jnp.asarray(rng.uniform(-1.1, 1.1, size=(33, 2)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(33, 6)).astype(np.float32))
+
+    def full(f, x):
+        return jnp.sum(bilinear_sample_mm(f, x) * g)
+
+    def part(f, x):
+        return jnp.sum(bilinear_sample_mm_partial(f, x, 4) * g)
+
+    dmap_f, dxy_f = jax.grad(full, argnums=(0, 1))(feat, xy)
+    dmap_p, dxy_p = jax.grad(part, argnums=(0, 1))(feat, xy)
+    np.testing.assert_allclose(np.asarray(dmap_p[..., :4]),
+                               np.asarray(dmap_f[..., :4]), rtol=1e-5, atol=1e-6)
+    assert float(jnp.max(jnp.abs(dmap_p[..., 4:]))) == 0.0
+    np.testing.assert_allclose(np.asarray(dxy_p), np.asarray(dxy_f),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_create_train_state_leaves_are_device_arrays():
     """Init params must be materialized device arrays (ArrayImpl), never
     jax literals (TypedNdArray) — orbax refuses to serialize literals if a
