@@ -186,6 +186,15 @@ class KeypointNeRFConfig:
     # the subject's box almost never pass the all-views foreground test, so
     # this is near-exact for typical framing. 1.0 = march all rays.
     coarse_topk_ratio: float = 1.0
+    # EXACT empty-ray culling (inference, render_rays_chunked only): march
+    # only the top `ratio * n_rays` rays by a conservative all-view
+    # foreground bound; every ray outside the budget is provably
+    # all-invalid under the model's validity test and composites to
+    # exactly zero (render/empty_cull.py — bit-identical outputs,
+    # tests/test_render.py::test_cull_empty_rays_exact). The budget must
+    # exceed the scene's dilated visual-hull ray fraction; check with
+    # empty_ray_scores (bench.py asserts it for its scene). 1.0 = off.
+    cull_empty_rays_ratio: float = 1.0
     # eval-time reuse of coarse point values in the union pass (exact —
     # the eval query is deterministic); disable to force the reference's
     # full re-evaluation of all union depths

@@ -1,0 +1,154 @@
+"""Exact empty-ray culling for full-image inference.
+
+In the reference, rays whose every sample point fails the all-view
+foreground test composite to EXACTLY zero: `query()` zeroes the validity
+mask of any point that does not land on the foreground (fg > 0.1) of all
+source views (src/model.py:732-739), `eval_func` multiplies the radiance
+by that mask (src/model.py:978-997, alpha = mask * relu(rad)), and
+`rgba2out` then yields contrib = 0 -> color/acc/depth/sdf = 0
+(src/model.py:1150-1176). Marching such a ray is pure waste — on TPU it
+wastes the *binding* resource, the gather-index rate (docs/PERF.md).
+
+This module predicts, per ray, a CONSERVATIVE upper bound on the
+foreground value any of its sample points can see in its worst view. Rays
+whose bound stays below the 0.1 validity threshold are provably
+all-invalid; the renderer marches only the rest and writes exact zeros
+for the culled ones. Unlike `coarse_topk_ratio`/`fine_topk_ratio` (which
+trade bounded error for speed), this cull is EXACT — outputs are
+bit-identical to the uncull render
+(tests/test_render.py::test_cull_empty_rays_exact).
+
+Conservativeness argument (each step only widens the kept set):
+
+1. Sample placement is replicated bit-exactly: the same f32
+   `stratified_z` / `importance_z` / projection expressions the renderer
+   itself evaluates, including the deterministic fine depths an all-zero
+   ray gets from the +1e-5 importance floor (geometry/sampling.py). A
+   culled ray's predicted points ARE its real points.
+2. The per-view foreground bound is a dilated max: the source masks are
+   max-pooled into (cell+1)-wide windows strided by `cell`, so the cell
+   containing a (clamped) pixel coordinate covers all 4 bilinear corner
+   pixels of that coordinate. bilinear(p) <= max(corners) <= cellmax.
+3. The bf16 lookup and the model's bf16 blend round; `margin` absorbs
+   both (binary masks make the bound exact: cellmax <= 0.09 means all
+   corners are 0, so the blended value is exactly 0).
+4. The frustum component of the validity mask is ignored — it can only
+   make more points invalid, never fewer.
+
+The per-point lookup itself must not pay the gather-index rate it exists
+to save, so the cell query is computed as one-hot MXU contractions
+(row-select matmul + column-select reduce) — ~2 orders of magnitude under
+the per-point march cost.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.aabb import ray_aabb_intersection
+from ..geometry.cameras import compose_krt, ndc_xy, project_points
+from ..geometry.sampling import importance_z, stratified_z
+
+# Rays with score <= threshold are provably all-invalid: the model's
+# validity test is fg > 0.1 on a value bounded above by score + rounding
+# (bf16 map storage + bf16 blend, both < 1%, absorbed by the 0.01 margin).
+EMPTY_SCORE_THRESHOLD = 0.09
+
+
+def conservative_mask_cells(masks, cell):
+    """Dilated max-pool of per-view masks onto a coarse cell grid.
+
+    Args:
+      masks: (V, H, W, 1) f32 foreground masks (the same array `encode`
+        packs into the sampled feature map's mask channel).
+      cell:  static int cell size in pixels.
+    Returns:
+      (V, Hc, Wc) with Hc = floor((H-1)/cell) + 1: each cell holds the max
+      over pixels [cy*cell, cy*cell + cell] x [cx*cell, cx*cell + cell]
+      (inclusive high edge — the +1 covers the bilinear corner x1 = x0+1
+      of any clamped coordinate falling in the cell).
+    """
+    V, H, W = masks.shape[:3]
+    hc = (H - 1) // cell + 1
+    wc = (W - 1) // cell + 1
+    pad_h = (hc - 1) * cell + cell + 1 - H
+    pad_w = (wc - 1) * cell + cell + 1 - W
+    return jax.lax.reduce_window(
+        masks[..., 0],
+        0.0,
+        jax.lax.max,
+        window_dimensions=(1, cell + 1, cell + 1),
+        window_strides=(1, cell, cell),
+        padding=((0, 0), (0, pad_h), (0, pad_w)),
+    )
+
+
+def _cell_lookup(cmax, cy, cx):
+    """Nearest-cell values via one-hot MXU contractions (no lax.gather).
+
+    cmax: (V, Hc, Wc); cy, cx: (V, P) int32 cell indices.
+    Returns (V, P) f32 cell values (bf16-rounded — covered by the margin).
+    """
+    hc, wc = cmax.shape[1:]
+    y_oh = (cy[..., None] == jnp.arange(hc, dtype=jnp.int32)).astype(jnp.bfloat16)
+    rows = jnp.einsum("vph,vhw->vpw", y_oh, cmax.astype(jnp.bfloat16))
+    x_oh = cx[..., None] == jnp.arange(wc, dtype=jnp.int32)
+    return jnp.sum(jnp.where(x_oh, rows, 0), axis=-1).astype(jnp.float32)
+
+
+def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=2048):
+    """Per-ray conservative foreground scores.
+
+    Replicates the renderer's exact sample placement for a would-be-zero
+    ray (AABB-clipped near/far -> deterministic stratified coarse depths ->
+    the uniform-floor importance fine depths), projects every point into
+    every source view with the same camera math as `query_points`, and
+    bounds its worst-view foreground value by the dilated cell max.
+
+    Args:
+      cfg:  KeypointNeRFConfig (n_coarse / n_fine / znear / zfar).
+      vb:   ViewBatch (src_masks, src cameras, bounds).
+      origin: (3,) target camera center; dirs (R, 3); near/far (R, 1).
+    Returns:
+      (R,) f32 scores; score <= EMPTY_SCORE_THRESHOLD => the ray's output
+      is exactly zero under the model's validity semantics.
+    """
+    V, H, W = vb.src_masks.shape[:3]
+    cmax = conservative_mask_cells(vb.src_masks.astype(jnp.float32), cell)
+    krt = compose_krt(vb.src_K, vb.src_R, vb.src_t)  # (V, 4, 4)
+    n = dirs.shape[0]
+
+    # identical AABB near/far clip to render_rays (reference model.py:1038-43)
+    z1, z2, hit = ray_aabb_intersection(vb.bounds, origin, dirs)
+    near = jnp.where(hit & (z1 > near), z1, near)
+    far = jnp.where(hit & (z2 < far), z2, far)
+
+    n_pad = (-n) % score_chunk
+    if n_pad:
+        idx = jnp.arange(n + n_pad, dtype=jnp.int32) % n
+        dirs, near, far = (jnp.take(x, idx, axis=0) for x in (dirs, near, far))
+    shape = lambda x: x.reshape((-1, score_chunk) + x.shape[1:])
+
+    def body(args):
+        d, nr, fr = args  # (c, 3), (c, 1), (c, 1)
+        z = stratified_z(None, nr, fr, cfg.n_coarse, jitter=False)  # (c, Sc)
+        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        zf = importance_z(
+            None, jnp.zeros_like(z[..., : cfg.n_coarse - 2]), z_mid,
+            cfg.n_fine, uniform=True,
+        )
+        z_all = jnp.concatenate([z, zf], axis=-1)       # (c, S)
+        pts = origin + d[:, None, :] * z_all[..., None]  # (c, S, 3)
+        xy_pix, _ = project_points(pts.reshape(1, -1, 3), krt)  # (V, c*S, 2)
+        xy = ndc_xy(xy_pix, W, H)
+        # the sampler's NDC->pixel map + border clamp (ops/feat_sample.py)
+        px = jnp.clip((xy[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+        py = jnp.clip((xy[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+        cx = jnp.floor(px / cell).astype(jnp.int32)
+        cy = jnp.floor(py / cell).astype(jnp.int32)
+        vals = _cell_lookup(cmax, cy, cx)               # (V, c*S)
+        worst = jnp.min(vals, axis=0)                    # (c*S,)
+        return jnp.max(worst.reshape(-1, z_all.shape[-1]), axis=-1)  # (c,)
+
+    scores = jax.lax.map(body, (shape(dirs), shape(near), shape(far)))
+    return scores.reshape(-1)[:n]

@@ -33,30 +33,82 @@ def render_rays_chunked(
 ) -> Dict[str, jnp.ndarray]:
     """Ray-march N rays in fixed-size chunks via lax.map (eval mode)."""
     n = dirs.shape[0]
-    n_pad = (-n) % chunk
-    if n_pad:
-        # pad the last chunk with COPIES of real rays (wrap-around), never
-        # zeros: an all-zero "ray" evaluates the density at the camera
-        # origin and can composite to acc ~ 1 through the 1e10 tail, which
-        # would steal fine_topk_ratio culling slots from real rays in the
-        # last chunk
-        idx = jnp.arange(n + n_pad, dtype=jnp.int32) % n
-        pad = lambda x: jnp.take(x, idx, axis=0)
-    else:
-        pad = lambda x: x
-    dirs_p, near_p, far_p = pad(dirs), pad(near), pad(far)
-    n_chunks = (n + n_pad) // chunk
-    reshape = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
 
-    def body(args):
-        d, nr, fr = args
-        return model.apply(
-            params, feats, vb, origin, d, nr, fr, None, False, fine,
-            method=KeypointNeRF.render_rays,
+    def march(d, nr, fr):
+        m = d.shape[0]
+        n_pad = (-m) % chunk
+        if n_pad:
+            # pad the last chunk with COPIES of real rays (wrap-around),
+            # never zeros: an all-zero "ray" evaluates the density at the
+            # camera origin and can composite to acc ~ 1 through the 1e10
+            # tail, which would steal fine_topk_ratio culling slots from
+            # real rays in the last chunk
+            idx = jnp.arange(m + n_pad, dtype=jnp.int32) % m
+            pad = lambda x: jnp.take(x, idx, axis=0)
+        else:
+            pad = lambda x: x
+        d_p, nr_p, fr_p = pad(d), pad(nr), pad(fr)
+        n_chunks = (m + n_pad) // chunk
+        reshape = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+
+        def body(args):
+            dd, nn, ff = args
+            return model.apply(
+                params, feats, vb, origin, dd, nn, ff, None, False, fine,
+                method=KeypointNeRF.render_rays,
+            )
+
+        out = jax.lax.map(body, (reshape(d_p), reshape(nr_p), reshape(fr_p)))
+        return {k: v.reshape((m + n_pad,) + v.shape[2:])[:m] for k, v in out.items()}
+
+    ratio = model.cfg.cull_empty_rays_ratio
+    if ratio >= 1.0:
+        return march(dirs, near, far)
+
+    # Exact empty-ray cull (render/empty_cull.py): rays whose conservative
+    # all-view foreground bound never crosses the 0.1 validity threshold
+    # composite to EXACTLY zero, so only the top `ratio * n` rays by that
+    # bound are marched and the rest take exact zero defaults. Culling is
+    # global (across chunks): a per-chunk budget would starve subject-dense
+    # chunks. Exactness requires #(score > threshold) <= budget — assert
+    # with `empty_ray_scores` offline (bench.py does; see the test
+    # test_cull_empty_rays_exact for the bit-parity check).
+    if model.cfg.use_pallas_composite and fine:
+        raise ValueError(
+            "cull_empty_rays_ratio requires the XLA importance path: the "
+            "Pallas composite kernel's fine-depth placement for zero rays "
+            "is not replicated by empty_ray_scores"
         )
+    from .empty_cull import empty_ray_scores
 
-    out = jax.lax.map(body, (reshape(dirs_p), reshape(near_p), reshape(far_p)))
-    return {k: v.reshape((n + n_pad,) + v.shape[2:])[:n] for k, v in out.items()}
+    scores = empty_ray_scores(model.cfg, vb, origin, dirs, near, far)
+    k = max(1, min(n, -int(-n * ratio // 1)))
+    sel = jax.lax.top_k(scores, k)[1]
+    out_m = march(
+        jnp.take(dirs, sel, axis=0),
+        jnp.take(near, sel, axis=0),
+        jnp.take(far, sel, axis=0),
+    )
+    # write-back: ONE packed row-gather instead of one gather per output
+    # (same inverse-index trick as the in-model culls; culled rays take the
+    # zero row — their exact composited value)
+    inv = jnp.full((n,), k, jnp.int32).at[sel].set(
+        jnp.arange(k, dtype=jnp.int32)
+    )
+    keys = sorted(out_m)
+    cols = [out_m[kk].reshape(k, -1) for kk in keys]
+    widths = [c.shape[1] for c in cols]
+    packed = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=-1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    )
+    taken = jnp.take(packed, inv, axis=0)  # (n, sum_widths)
+    out, off = {}, 0
+    for kk, w in zip(keys, widths):
+        v = taken[:, off : off + w].astype(out_m[kk].dtype)
+        out[kk] = v.reshape((n,) + out_m[kk].shape[1:])
+        off += w
+    return out
 
 
 @functools.partial(

@@ -90,6 +90,21 @@ def main():
         print(f"{label:42s} {dt:7.4f} s  {args.size**2/dt:9.0f} rays/s  "
               f"sum_rel_delta={rel:.2e}", flush=True)
 
+    if os.environ.get("STRICT_CULL_ONLY"):
+        # round-3 exact empty-ray cull sweep (render/empty_cull.py):
+        # bit-identical outputs, only provably-zero rays skipped. Bench
+        # scene hull fraction is 12-15.5% across the orbit (measured on
+        # CPU), so 0.25 carries ~2x margin and 0.1875 ~1.3x.
+        toh = dataclasses.replace(base, tex_onehot_sample=True)
+        measure(toh, 4096, "strict + tex_onehot chunk=4096 (shipped)")
+        for ratio in (0.25, 0.1875):
+            for chunk in (4096, 2048):
+                measure(
+                    dataclasses.replace(toh, cull_empty_rays_ratio=ratio),
+                    chunk, f"strict + empty-cull {ratio} chunk={chunk}",
+                )
+        return
+
     measure(base, 8192, "strict chunk=8192 (baseline)")
     measure(base, 16384, "strict chunk=16384")
     measure(base, 4096, "strict chunk=4096")

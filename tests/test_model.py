@@ -207,6 +207,60 @@ def test_fine_topk_culling_close_to_full(model_and_params):
     assert np.abs(f - cu).mean() < 0.03
 
 
+def test_cull_empty_rays_exact(model_and_params):
+    """The global empty-ray cull is EXACT: outputs are bit-identical to the
+    uncull render (render/empty_cull.py — rays outside the conservative
+    visual-hull budget are provably all-invalid and composite to zero), and
+    the conservative scores really do cover every nonzero ray."""
+    import dataclasses
+
+    from keypointnerf_tpu.geometry.cameras import camera_rays, pixel_grid
+    from keypointnerf_tpu.render.empty_cull import (
+        EMPTY_SCORE_THRESHOLD,
+        empty_ray_scores,
+    )
+
+    model, params, vb = model_and_params
+    model_c = KeypointNeRF(dataclasses.replace(TINY, cull_empty_rays_ratio=0.6))
+    full = render_image(model, params, vb, height=64, width=64, chunk=512)
+    culled = render_image(model_c, params, vb, height=64, width=64, chunk=512)
+    for k in full:
+        np.testing.assert_array_equal(
+            np.asarray(full[k], np.float32),
+            np.asarray(culled[k], np.float32),
+            err_msg=k,
+        )
+
+    # conservativeness: every ray the full render found nonzero must score
+    # above the cull threshold
+    pix = pixel_grid(64, 64).astype(jnp.float32)
+    origin, dirs, near, far = camera_rays(
+        pix, vb.tar_K, vb.tar_R, vb.tar_t, TINY.znear, TINY.zfar
+    )
+    scores = np.asarray(empty_ray_scores(TINY, vb, origin, dirs, near, far))
+    hull = scores > EMPTY_SCORE_THRESHOLD
+    nonzero = np.asarray(full["acc_fine"]).reshape(-1) != 0
+    assert not (nonzero & ~hull).any()
+    # the budget must cover the hull for the exactness guarantee to hold
+    assert hull.mean() <= 0.6
+    # and the cull is not vacuous on this scene
+    assert hull.mean() < 0.95
+
+
+def test_cull_empty_rays_rejects_pallas_composite(model_and_params):
+    import dataclasses
+
+    model, params, vb = model_and_params
+    bad = KeypointNeRF(
+        dataclasses.replace(
+            TINY, cull_empty_rays_ratio=0.5, use_pallas_composite=True,
+            pallas_interpret=True,
+        )
+    )
+    with pytest.raises(ValueError, match="cull_empty_rays_ratio"):
+        render_image(bad, params, vb, height=16, width=16, chunk=64)
+
+
 @pytest.mark.slow
 def test_reuse_coarse_eval_exact(model_and_params):
     """Eval-time coarse-value reuse must match full union re-evaluation."""
