@@ -7,14 +7,18 @@ ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Three measurements (VERDICT r1 items 4 & 10):
   * value                — fast path at 256x256 (bf16, fused feature map,
                            coarse/fine ray culling, coarse-value reuse,
-                           stride-2 epipolar gather-lerp).
+                           stride-2 epipolar gather-lerp, exact
+                           empty-ray cull at budget 0.25).
                            Headline; comparable to the round-1 baseline.
-  * strict_rays_per_sec  — strict reference semantics at 256x256: every
-                           ray marched coarse+fine, the full 128-depth
-                           union composited, no fused map approximation
-                           (reference src/model.py:942-1108). The exact
-                           coarse-value-reuse merge is on (identical
-                           outputs; see strict_cfg comment).
+  * strict_rays_per_sec  — strict reference semantics at 256x256: the
+                           full 128-depth union composited, no fused map
+                           approximation (reference src/model.py:942-1108),
+                           outputs BIT-IDENTICAL to marching every ray.
+                           Two exact implementation optimizations are on:
+                           the coarse-value-reuse merge and the round-4
+                           empty-ray cull (see strict_cfg comment; both
+                           HW-verified identical, and the cull's runtime
+                           overflow guard is asserted zero per camera).
   * rays_per_sec_512     — fast path at the reference's eval resolution
                            512x512 (src/model.py:897-940).
 
@@ -116,6 +120,14 @@ def main():
         fused_map_half=True,  # half-res fused map rides the <=256^2-area
         # 15.2 ns/patch gather regime: +13% measured, GT delta -0.04 dB
         # on trained params (README culling table)
+        cull_empty_rays_ratio=0.25,  # exact empty-ray cull: only rays
+        # whose conservative all-view fg bound can cross the validity
+        # threshold are marched (render/empty_cull.py). Culled rays are
+        # exactly zero; composing with the topk ratios only regroups the
+        # per-chunk topk budgets (quantified vs GT in README). Bench-scene
+        # hull max 0.191 under the lerp-tight bound
+        # (scripts/cull_hull_fraction.py); the runtime cull_overflow
+        # guard is asserted zero below for every camera.
     )
     # strict reference semantics: march every ray, composite the full
     # 128-depth coarse+fine union, exact per-map bilinear lookups,
@@ -130,9 +142,20 @@ def main():
     # (ops/pallas/onehot_bilinear.py): identical clamp/border semantics,
     # f32-exact (test_pallas.py), bf16 rounding comparable to the gather
     # blend; +5.9% strict throughput measured on v5e.
+    # The round-4 addition on BOTH presets is the exact empty-ray cull
+    # (render/empty_cull.py): in the strict preset (topk ratios 1.0) the
+    # output is BIT-IDENTICAL to marching every ray — rays outside the
+    # conservative visual-hull budget provably composite to zero under the
+    # reference's all-view foreground validity (reference
+    # src/model.py:732-739, 978-997, 1150-1176) — so the strict numbers
+    # remain exact reference semantics (HW-verified sum_rel_delta=0,
+    # scripts/measure_strict_variants.py). Budget 0.1875 covers the bench
+    # scene's measured hull max 0.1546; the runtime cull_overflow guard is
+    # asserted zero for every camera below.
     strict_cfg = dataclasses.replace(
         fast_cfg, fused_feature_map=False, nl_relu_approx=False,
         fine_topk_ratio=1.0, coarse_topk_ratio=1.0, tex_onehot_sample=True,
+        cull_empty_rays_ratio=0.1875,
     )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 
@@ -183,13 +206,20 @@ def main():
                 out = render_rays_chunked(
                     model, params, feats, vb, origin, dirs, near, far, chunk=chunk
                 )
-                return acc + jnp.sum(out["rgb_fine"]), None
+                # empty-cull runtime exactness guard, reduced across the
+                # orbit (must stay 0.0 — asserted after the timed fetch)
+                ov = jnp.max(out.get("cull_overflow", jnp.zeros(1)))
+                return (acc[0] + jnp.sum(out["rgb_fine"]),
+                        jnp.maximum(acc[1], ov)), None
 
-            total, _ = jax.lax.scan(one, jnp.asarray(0.0), (Rs, ts))
-            return total
+            (total, ov), _ = jax.lax.scan(
+                one, (jnp.asarray(0.0), jnp.asarray(0.0)), (Rs, ts)
+            )
+            return total, ov
 
         Rs0, ts0 = orbit(0.0, n_cameras)
-        float(render_many(params, vb, Rs0, ts0))  # compile + warm
+        warm = render_many(params, vb, Rs0, ts0)  # compile + warm
+        float(warm[0])
 
         t0 = time.perf_counter()
         float(trivial(zeros))
@@ -197,8 +227,15 @@ def main():
 
         Rs1, ts1 = orbit(1.234, n_cameras)
         t0 = time.perf_counter()
-        float(render_many(params, vb, Rs1, ts1))
+        res = render_many(params, vb, Rs1, ts1)
+        float(res[0])
         total = time.perf_counter() - t0
+        # exactness guard AFTER the timed fetch: a nonzero overflow means
+        # the cull budget missed hull rays and the numbers would be invalid
+        assert float(warm[1]) == 0.0 and float(res[1]) == 0.0, (
+            "empty-ray cull budget exceeded on the bench scene: "
+            f"warm={float(warm[1])}, measured={float(res[1])}"
+        )
         dt = max(total - t_rt, 1e-9) / n_cameras
         return size * size / dt
 
@@ -264,11 +301,11 @@ def main():
 
     fast_256 = measure(fast_cfg, 256, 4)
     fast_512 = measure(fast_cfg, 512, 2)
-    # chunk 4096 measured fastest for the strict path (+2% over 8192;
-    # scripts/measure_strict_variants.py) — a scheduling effect, not a
-    # semantics change
-    strict_256 = measure(strict_cfg, 256, 2, chunk=4096)
-    strict_512 = measure(strict_cfg, 512, 1, chunk=4096)
+    # chunk 2048 measured fastest for the culled strict path (+3% over
+    # 4096; scripts/measure_strict_variants.py STRICT_CULL_ONLY) — a
+    # scheduling effect, not a semantics change
+    strict_256 = measure(strict_cfg, 256, 2, chunk=2048)
+    strict_512 = measure(strict_cfg, 512, 1, chunk=2048)
     train_rps, train_spstep = measure_train()
 
     print(

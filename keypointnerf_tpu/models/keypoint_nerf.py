@@ -190,10 +190,12 @@ class KeypointNeRFConfig:
     # only the top `ratio * n_rays` rays by a conservative all-view
     # foreground bound; every ray outside the budget is provably
     # all-invalid under the model's validity test and composites to
-    # exactly zero (render/empty_cull.py — bit-identical outputs,
-    # tests/test_render.py::test_cull_empty_rays_exact). The budget must
-    # exceed the scene's dilated visual-hull ray fraction; check with
-    # empty_ray_scores (bench.py asserts it for its scene). 1.0 = off.
+    # exactly zero (render/empty_cull.py — bit-identical outputs when the
+    # topk ratios are 1.0, tests/test_model.py::test_cull_empty_rays_exact).
+    # The budget must exceed the scene's dilated visual-hull ray fraction;
+    # violations are surfaced at runtime via the renderer's
+    # `cull_overflow` output (zero everywhere iff the budget covered the
+    # hull; bench.py asserts it for its scenes). 1.0 = off.
     cull_empty_rays_ratio: float = 1.0
     # eval-time reuse of coarse point values in the union pass (exact —
     # the eval query is deterministic); disable to force the reference's

@@ -211,4 +211,7 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
     def render(params, vb: ViewBatch, *, height: int, width: int, stride: int = 1):
         return _render(params, vb, height, width, stride)
 
+    # expose the jitted callable for lowering/compile inspection
+    # (tests/test_scaling_hlo.py audits the compiled collective schedule)
+    render.jitted = _render
     return render

@@ -16,7 +16,11 @@ all-invalid; the renderer marches only the rest and writes exact zeros
 for the culled ones. Unlike `coarse_topk_ratio`/`fine_topk_ratio` (which
 trade bounded error for speed), this cull is EXACT — outputs are
 bit-identical to the uncull render
-(tests/test_render.py::test_cull_empty_rays_exact).
+(tests/test_model.py::test_cull_empty_rays_exact) — PROVIDED the topk
+ratios are 1.0: with topk < 1 the cull changes the chunk groupings the
+per-chunk topk budgets select from, so outputs match the uncull render
+only up to the topk approximation (quantify with
+scripts/culling_error.py).
 
 Conservativeness argument (each step only widens the kept set):
 
@@ -25,15 +29,45 @@ Conservativeness argument (each step only widens the kept set):
    itself evaluates, including the deterministic fine depths an all-zero
    ray gets from the +1e-5 importance floor (geometry/sampling.py). A
    culled ray's predicted points ARE its real points.
-2. The per-view foreground bound is a dilated max: the source masks are
-   max-pooled into (cell+1)-wide windows strided by `cell`, so the cell
-   containing a (clamped) pixel coordinate covers all 4 bilinear corner
-   pixels of that coordinate. bilinear(p) <= max(corners) <= cellmax.
-3. The bf16 lookup and the model's bf16 blend round; `margin` absorbs
-   both (binary masks make the bound exact: cellmax <= 0.09 means all
-   corners are 0, so the blended value is exactly 0).
-4. The frustum component of the validity mask is ignored — it can only
+2. The per-view foreground bound is a dilated max OVER THE MASK MAP THE
+   MODEL ACTUALLY SAMPLES: pass `feats` and the bound is built from the
+   fused map's mask channel on its own (possibly half-res, possibly
+   fractional-valued) grid, so `fused_map_half`'s resampled support is
+   covered exactly. The map is max-pooled into (cell+1)-wide windows
+   strided by `cell` in MAP pixels, so the cell containing a (clamped)
+   map coordinate covers all 4 bilinear corner pixels of that
+   coordinate. bilinear(p) <= max(corners) <= cellmax.
+3. With `gather_lerp`, the fg a non-anchor sample sees is a per-view
+   CONVEX COMBINATION of the two gathered anchor values of its segment
+   (keypoint_nerf.py `_strided_gather_lerp`: t is clipped to [0, 1]),
+   so the plain per-sample bound is unsound across views (two anchors
+   can each fail the all-view test while their mixtures pass it in
+   every view). Two sound variants:
+   - TIGHT (the default eval decomposition, `reuse_coarse_eval` and not
+     `separate_cf`): the model evaluates two per-ray sample groups, the
+     ascending coarse depths and the ascending fine depths, each with
+     anchors at every stride-th index + the last. A sample at group
+     index i mixes anchors within [i-stride, i+stride], so per view a
+     windowed max of half-width `stride` over each group bounds any
+     mixture; score = max over both groups of (max over samples of
+     (min over views of the windowed bound)).
+   - LOOSE (any other lerp decomposition): swap the reduction order —
+     score = min over views of (max over the ray's samples). Any convex
+     mixture of per-view values along the ray is <= that view's max,
+     and anchors are a subset of the ray's samples. (Keeps
+     silhouette-cone-intersecting rays; the runtime budget guard below
+     still applies.)
+4. The bf16 map values enter the cell max exactly (f32 max of bf16
+   values); the model's bf16 convex blend of values <= cellmax can
+   round at most ~0.4% above cellmax — absorbed by the 0.01 margin
+   between the 0.09 score threshold and the 0.1 validity threshold.
+5. The frustum component of the validity mask is ignored — it can only
    make more points invalid, never fewer.
+
+Runtime guard: exactness additionally requires the marched budget to
+cover the hull, #(score > threshold) <= k. The renderer surfaces the
+violation count as the `cull_overflow` output (zero everywhere when the
+guarantee holds); bench.py asserts it is 0 for its scenes.
 
 The per-point lookup itself must not pay the gather-index rate it exists
 to save, so the cell query is computed as one-hot MXU contractions
@@ -96,7 +130,8 @@ def _cell_lookup(cmax, cy, cx):
     return jnp.sum(jnp.where(x_oh, rows, 0), axis=-1).astype(jnp.float32)
 
 
-def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=2048):
+def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=2048,
+                     feats=None):
     """Per-ray conservative foreground scores.
 
     Replicates the renderer's exact sample placement for a would-be-zero
@@ -109,12 +144,41 @@ def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=2048)
       cfg:  KeypointNeRFConfig (n_coarse / n_fine / znear / zfar).
       vb:   ViewBatch (src_masks, src cameras, bounds).
       origin: (3,) target camera center; dirs (R, 3); near/far (R, 1).
+      feats: the dict from `KeypointNeRF.encode`. REQUIRED for soundness
+        when `cfg.fused_feature_map` is set: the bound is then built from
+        the fused map's actual mask channel (which `fused_map_half`
+        resamples onto the half grid — full-res `src_masks` cells would
+        not cover its support). Without a fused map `src_masks` IS the
+        sampled mask and `feats` may be None.
     Returns:
       (R,) f32 scores; score <= EMPTY_SCORE_THRESHOLD => the ray's output
       is exactly zero under the model's validity semantics.
     """
-    V, H, W = vb.src_masks.shape[:3]
-    cmax = conservative_mask_cells(vb.src_masks.astype(jnp.float32), cell)
+    H, W = vb.src_masks.shape[1:3]  # NDC convention of project/ndc_xy
+    if feats is not None and "fused" in feats:
+        # the mask channel the model's validity test actually samples
+        # (keypoint_nerf.py query_points: fg = fused[..., base+3]); any
+        # dma-gather lane padding sits AFTER it, so the index is stable
+        base = cfg.geo_out_ch + cfg.geo_out_ch_hd + cfg.tex_out_ch
+        mask_map = feats["fused"][..., base + 3 : base + 4]
+    elif cfg.fused_feature_map:
+        raise ValueError(
+            "empty_ray_scores: cfg.fused_feature_map requires feats= (the "
+            "bound must be built from the fused map's mask channel)"
+        )
+    else:
+        mask_map = vb.src_masks
+    V, Hm, Wm = mask_map.shape[:3]
+    # gather_lerp mixes each view's gathered values along the ray, so the
+    # plain per-sample all-view bound is unsound; use the tight windowed
+    # bound when the eval decomposition is the default coarse+fine-group
+    # one, the loose swapped reduction otherwise (docstring, step 3)
+    lerp_mode = (
+        feats is not None and "fused" in feats
+        and cfg.gather_lerp and cfg.gather_lerp_stride >= 2
+    )
+    lerp_tight = lerp_mode and cfg.reuse_coarse_eval and not cfg.separate_cf
+    cmax = conservative_mask_cells(mask_map.astype(jnp.float32), cell)
     krt = compose_krt(vb.src_K, vb.src_R, vb.src_t)  # (V, 4, 4)
     n = dirs.shape[0]
 
@@ -142,13 +206,31 @@ def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=2048)
         xy_pix, _ = project_points(pts.reshape(1, -1, 3), krt)  # (V, c*S, 2)
         xy = ndc_xy(xy_pix, W, H)
         # the sampler's NDC->pixel map + border clamp (ops/feat_sample.py)
-        px = jnp.clip((xy[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
-        py = jnp.clip((xy[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+        # onto the MAP grid (Hm/Wm may be the half-res fused-map grid)
+        px = jnp.clip((xy[..., 0] + 1.0) * 0.5 * (Wm - 1), 0.0, Wm - 1.0)
+        py = jnp.clip((xy[..., 1] + 1.0) * 0.5 * (Hm - 1), 0.0, Hm - 1.0)
         cx = jnp.floor(px / cell).astype(jnp.int32)
         cy = jnp.floor(py / cell).astype(jnp.int32)
         vals = _cell_lookup(cmax, cy, cx)               # (V, c*S)
-        worst = jnp.min(vals, axis=0)                    # (c*S,)
-        return jnp.max(worst.reshape(-1, z_all.shape[-1]), axis=-1)  # (c,)
+        vals = vals.reshape(V, -1, z_all.shape[-1])      # (V, c, S)
+        if lerp_tight:
+            k = cfg.gather_lerp_stride
+
+            def group_score(v):  # (V, c, Sg) -> (c,)
+                w = jax.lax.reduce_window(
+                    v, -jnp.inf, jax.lax.max,
+                    window_dimensions=(1, 1, 2 * k + 1),
+                    window_strides=(1, 1, 1), padding="SAME",
+                )
+                return jnp.max(jnp.min(w, axis=0), axis=-1)
+
+            return jnp.maximum(
+                group_score(vals[..., : cfg.n_coarse]),
+                group_score(vals[..., cfg.n_coarse :]),
+            )
+        if lerp_mode:
+            return jnp.min(jnp.max(vals, axis=-1), axis=0)  # (c,)
+        return jnp.max(jnp.min(vals, axis=0), axis=-1)       # (c,)
 
     scores = jax.lax.map(body, (shape(dirs), shape(near), shape(far)))
     return scores.reshape(-1)[:n]

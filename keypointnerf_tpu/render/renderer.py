@@ -70,19 +70,36 @@ def render_rays_chunked(
     # composite to EXACTLY zero, so only the top `ratio * n` rays by that
     # bound are marched and the rest take exact zero defaults. Culling is
     # global (across chunks): a per-chunk budget would starve subject-dense
-    # chunks. Exactness requires #(score > threshold) <= budget — assert
-    # with `empty_ray_scores` offline (bench.py does; see the test
-    # test_cull_empty_rays_exact for the bit-parity check).
+    # chunks. Exactness requires #(score > threshold) <= budget; that is
+    # checked AT RUNTIME and surfaced as the `cull_overflow` output (zero
+    # everywhere iff the guarantee held — bench.py asserts it, and the
+    # bit-parity check is tests/test_model.py::test_cull_empty_rays_exact).
+    # Bit-parity additionally requires coarse/fine_topk_ratio == 1.0: with
+    # topk < 1 the cull regroups the chunks the per-chunk topk budgets
+    # select from (an approximation change, quantify via
+    # scripts/culling_error.py), while the culled rays themselves are
+    # still exactly zero.
     if model.cfg.use_pallas_composite and fine:
         raise ValueError(
             "cull_empty_rays_ratio requires the XLA importance path: the "
             "Pallas composite kernel's fine-depth placement for zero rays "
             "is not replicated by empty_ray_scores"
         )
-    from .empty_cull import empty_ray_scores
+    if model.cfg.disable_fg_mask:
+        raise ValueError(
+            "cull_empty_rays_ratio requires the foreground validity test: "
+            "with disable_fg_mask point validity is frustum-only, so rays "
+            "the cull proves mask-empty can still composite nonzero"
+        )
+    from .empty_cull import EMPTY_SCORE_THRESHOLD, empty_ray_scores
 
-    scores = empty_ray_scores(model.cfg, vb, origin, dirs, near, far)
+    scores = empty_ray_scores(model.cfg, vb, origin, dirs, near, far, feats=feats)
     k = max(1, min(n, -int(-n * ratio // 1)))
+    # runtime exactness guard: rays above the threshold beyond the budget
+    # would be wrongly zeroed; report the count (one reduce, jit-safe)
+    overflow = jnp.maximum(
+        jnp.sum(scores > EMPTY_SCORE_THRESHOLD) - k, 0
+    ).astype(jnp.float32)
     sel = jax.lax.top_k(scores, k)[1]
     out_m = march(
         jnp.take(dirs, sel, axis=0),
@@ -108,6 +125,9 @@ def render_rays_chunked(
         v = taken[:, off : off + w].astype(out_m[kk].dtype)
         out[kk] = v.reshape((n,) + out_m[kk].shape[1:])
         off += w
+    # per-ray broadcast of the scalar guard so it survives the callers'
+    # (h, w)-image reshape; nonzero anywhere => raise cull_empty_rays_ratio
+    out["cull_overflow"] = jnp.broadcast_to(overflow, (n,))
     return out
 
 

@@ -44,6 +44,13 @@ class DataConfig:
 class ExperimentConfig:
     name: str = "keypointnerf"
     out_dir: str = "out"
+    # what the preset is tuned for: "train" or "eval". Eval/serve presets
+    # (configs/zju_fast.json) carry inference-only model flags
+    # (gather_lerp, fused_map_half, topk/cull ratios) that are inert in
+    # training — and the fused map is a measured training PESSIMIZATION
+    # (docs/PERF.md: 2.73 vs 0.88 s/step) — so train.py warns loudly when
+    # fitting a purpose="eval" config.
+    purpose: str = "train"
     seed: int = 125
     max_epochs: int = 30              # reference zju.json:18
     val_every_steps: int = 500

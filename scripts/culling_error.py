@@ -104,6 +104,17 @@ def main():
             fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
             fused_map_half=True,
         ),
+        # exact empty-ray cull (render/empty_cull.py): bit-exact alone;
+        # composed with topk it regroups the per-chunk topk budgets —
+        # these rows quantify that regrouping against GT
+        "empty_cull_0.25": dataclasses.replace(
+            strict_cfg, cull_empty_rays_ratio=0.25,
+        ),
+        "fast_all_lerp_half_cull": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
+            fused_map_half=True, cull_empty_rays_ratio=0.25,
+        ),
     }
     if args.only:
         keep = set(args.only.split(","))
@@ -146,12 +157,20 @@ def main():
         params = jax.device_put(params, dev)
         vb = jax.device_put(vb_cpu, dev)
 
-        def render(cfg):
+        overflow = {}
+
+        def render(cfg, name=None):
             model = KeypointNeRF(cfg)
             out = render_image(
                 model, params, vb, height=args.size, width=args.size,
                 chunk=args.chunk,
             )
+            if name is not None and "cull_overflow" in out:
+                # runtime exactness guard of the empty-ray cull: nonzero
+                # means the budget missed hull rays on this scene/camera
+                overflow[(scene, name)] = float(
+                    np.asarray(out["cull_overflow"]).max()
+                )
             return np.clip(
                 np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0
             )
@@ -160,7 +179,7 @@ def main():
         gt = np.asarray(vb_cpu.tar_image, np.float32)
         base_psnr = float(psnr(ref_img, gt))
         for name, cfg in variants.items():
-            img = render(cfg)
+            img = render(cfg, name)
             row = {
                 "scene": scene, "variant": name,
                 "psnr_vs_strict": round(float(psnr(img, ref_img)), 2),
@@ -168,6 +187,8 @@ def main():
                 "psnr_vs_gt": round(float(psnr(img, gt)), 2),
                 "strict_psnr_vs_gt": round(base_psnr, 2),
             }
+            if (scene, name) in overflow:
+                row["cull_overflow"] = overflow[(scene, name)]
             rows.append(row)
             print(json.dumps(row), flush=True)
 

@@ -87,6 +87,23 @@ def main():
               flush=True)
 
     half = dataclasses.replace(fast, fused_map_half=True)
+    if os.environ.get("FAST_CULL_ONLY"):
+        # round-4 exact empty-ray cull composed onto the shipped fast path.
+        # Bench-scene hull fractions under the fast (lerp-sound) bound:
+        # max 0.3644 across the orbit cameras; the windowed bound is
+        # tighter (scripts/cull_hull_fraction.py). Perf depends only on
+        # the ratio (budget), so sweep ratios; legality of a ratio is the
+        # runtime cull_overflow == 0 check.
+        for ratio in (0.4375, 0.375, 0.3125, 0.25, 0.1875):
+            measure(
+                dataclasses.replace(half, cull_empty_rays_ratio=ratio),
+                256, f"fast_half + empty-cull {ratio} 256^2",
+            )
+        measure(dataclasses.replace(half, cull_empty_rays_ratio=0.4375),
+                512, "fast_half + empty-cull 0.4375 512^2")
+        measure(dataclasses.replace(half, cull_empty_rays_ratio=0.25),
+                512, "fast_half + empty-cull 0.25 512^2")
+        return
     for size in (256, 512):
         measure(fast, size, f"fast (shipped) {size}^2")
         measure(half, size, f"fast + fused_map_half {size}^2")

@@ -64,3 +64,32 @@ p1 = jax.tree.leaves(trainer2.state.params)[0]
 np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
 
 print(f"TRAINER_OK {proc_id} {trainer._last_val_loss:.6f}", flush=True)
+
+
+# ---- poisoned-index run: substitution must be OBSERVABLE (VERDICT r3
+# weak 4). One global index fails to load; exactly one rank substitutes
+# it, counts it, and emits train/data_substituted in its metrics.
+class PoisonedDataset:
+    def __init__(self, base, bad):
+        self.base, self.bad = base, set(bad)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        return None if i in self.bad else self.base[i]
+
+
+cfg3 = load_config(None, {**overrides, "name": "poisoned"})
+trainer3 = Trainer(cfg3, model, PoisonedDataset(ds, {3}), val_data=None)
+trainer3.fit(max_steps=2)  # 2 steps x global batch 4 = the whole 8-sample epoch
+import glob
+import json
+
+metrics_files = glob.glob(os.path.join(out_dir, "poisoned", "metrics.jsonl"))
+logged = 0
+for mf in metrics_files:
+    for line in open(mf):
+        rec = json.loads(line)
+        logged = max(logged, int(rec.get("train/data_substituted", 0)))
+print(f"POISON_OK {proc_id} {trainer3._epoch_substituted} {logged}", flush=True)

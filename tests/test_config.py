@@ -72,3 +72,42 @@ def test_train_cli_requires_explicit_random_vgg_optin(tmp_path):
     )
     assert r.returncode != 0
     assert "allow_random_vgg" in (r.stderr + r.stdout)
+
+
+def test_eval_preset_warns_on_training(tmp_path):
+    """configs/zju_fast.json is an eval/serve preset (purpose='eval');
+    training with it must warn that its eval-only flags are inert and the
+    fused map pessimizes the train step (VERDICT r3 weak 5)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+    )
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config", "configs/zju_fast.json",
+         "--out_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    # the run still aborts on the missing-VGG opt-in, but the purpose
+    # warning must have been printed first
+    assert "purpose='eval'" in (r.stderr + r.stdout)
+
+
+def test_all_shipped_configs_build():
+    """Every committed config must parse into the typed dataclasses."""
+    import glob
+    import os
+
+    from keypointnerf_tpu.utils import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(root, "configs", "*.json"))
+    assert paths
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.purpose in ("train", "eval"), p

@@ -75,3 +75,16 @@ def test_two_process_trainer_fit(tmp_path):
         losses.append(float(line.split()[2]))
     # the replicated validation loss must agree across processes
     assert losses[0] == losses[1], losses
+
+    # poisoned-index run (VERDICT r3 weak 4): exactly one rank substituted
+    # the unloadable sample, and the GLOBAL count reached rank 0's metrics
+    own, logged = [], []
+    for i, out in enumerate(outs):
+        line = next((l for l in out.splitlines() if l.startswith("POISON_OK")), None)
+        assert line is not None, f"worker {i}:\n{out}"
+        own.append(int(line.split()[2]))
+        logged.append(int(line.split()[3]))
+    assert sum(own) == 1, own            # one bad global index -> one substitution
+    assert logged == [1, 1], logged      # visible in train/data_substituted
+    # and the substitution warning was printed by the substituting rank
+    assert any("substituted an" in out for out in outs)

