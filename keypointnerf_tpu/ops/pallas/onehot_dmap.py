@@ -43,10 +43,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # points per grid step. VMEM tenants at the coarse-map shape
-# (H=W=128, C=64): acc (128, 8192) f32 = 4.2 MB, G' (256, 8192) bf16 =
-# 4.2 MB — comfortably under budget (the sp-fused kernel's HTTP 500 was
-# VMEM overflow at 512-wide tiles of a much larger working set).
-TILE_N = 256
+# (H=W=128, C=64): acc (128, 8192) f32 = 4.2 MB, the f32 weight*cotangent
+# product (128, 8192) = 4.2 MB + its bf16 cast 2.1 MB — under budget (the
+# sp-fused kernel's HTTP 500 was VMEM overflow at 512-wide tiles of a
+# much larger working set). 128 (not 256) buys headroom for the f32
+# product the exact-rounding formulation needs.
+TILE_N = 128
 
 
 def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype):
@@ -80,12 +82,15 @@ def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype):
     xwe = (
         jnp.where(colsx == x0i, 1.0 - wx, zero)
         + jnp.where(colsx == x0i + 1, wx, zero)
-    ).astype(dtype)                                  # (P, W*C)
+    )                                                # (P, W*C) f32
     # cotangent tiled over x blocks: position w*C + c holds g[n, c]
-    gt = pltpu.repeat(g_ref[:].astype(dtype), W, axis=1)  # (P, W*C)
-
+    gt = pltpu.repeat(g_ref[:], W, axis=1)           # (P, W*C) f32
+    # the weight*cotangent product is formed in f32 and rounded ONCE to
+    # the contraction dtype — exactly the XLA scan's G2 = (Xh*g).astype
+    # (ops/feat_sample.py). Rounding each factor separately (the previous
+    # formulation) double-rounds and diverged from the scan by ~2e-3.
     out_ref[:] += jax.lax.dot_general(
-        yw, xwe * gt, (((0,), (0,)), ((), ())),
+        yw, (xwe * gt).astype(dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                # (H, W*C) f32
 

@@ -194,18 +194,29 @@ def make_sharded_render(model: KeypointNeRF, mesh, chunk: int = 4096):
         )
         n = dirs.shape[0]
         n_pad = (-n) % n_dev
-        if n_pad:
-            # wrap-pad with real rays (see render_rays_chunked): zero "rays"
-            # can composite to high acc and steal fine-cull slots
-            idx = jnp.arange(n + n_pad, dtype=jnp.int32) % n
-            pad = lambda x: jnp.take(x, idx, axis=0)
-        else:
-            pad = lambda x: x
+        total = n + n_pad
+        L = total // n_dev
+        # INTERLEAVED shard assignment: ray i goes to shard i % n_dev, not
+        # to a contiguous image tile. Subject rays cluster spatially, so
+        # contiguous tiles would (a) give some devices all-empty work,
+        # (b) let per-shard topk budgets starve subject-dense tiles, and
+        # (c) break the empty-ray cull outright — a tile fully inside the
+        # hull exceeds ANY global cull budget. Interleaving makes every
+        # shard a uniform subsample (hull fraction ~= global), and the
+        # per-ray march is pointwise, so outputs are exactly reordered,
+        # not changed (gather locality measured irrelevant: docs/PERF.md).
+        # wrap-pad with real rays (see render_rays_chunked): zero "rays"
+        # can composite to high acc and steal fine-cull slots.
+        fwd = (jnp.arange(total, dtype=jnp.int32).reshape(L, n_dev)
+               .T.reshape(-1)) % n
+        pad = lambda x: jnp.take(x, fwd, axis=0)
+        inv = jnp.arange(total, dtype=jnp.int32).reshape(n_dev, L).T.reshape(-1)
         out = sharded_march(params, feats, vb, origin, pad(dirs), pad(near), pad(far))
         # ceil: pixel_grid emits ceil(H/stride) x ceil(W/stride) rays
         h, w = -(-height // stride), -(-width // stride)
         return {
-            k: v[:n].reshape((h, w) + v.shape[1:]) for k, v in out.items()
+            k: jnp.take(v, inv, axis=0)[:n].reshape((h, w) + v.shape[1:])
+            for k, v in out.items()
         }
 
     def render(params, vb: ViewBatch, *, height: int, width: int, stride: int = 1):

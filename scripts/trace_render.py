@@ -40,14 +40,16 @@ def render_once(preset, size, chunk):
         compute_dtype=jnp.bfloat16, fused_feature_map=True,
         fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
         gather_lerp=True, fused_map_half=True,  # official fast path (bench.py)
+        cull_empty_rays_ratio=0.25,  # round-4 exact empty-ray cull
     )
     if preset == "strict":
-        # matches bench.py's strict_cfg: exact per-map lookups, no culling,
-        # exact coarse-value reuse kept (identical outputs)
+        # matches bench.py's strict_cfg: exact per-map lookups, no topk
+        # culling, exact coarse-value reuse + exact empty-ray cull kept
+        # (identical outputs)
         cfg = dataclasses.replace(
             cfg, fused_feature_map=False, fine_topk_ratio=1.0,
             coarse_topk_ratio=1.0, gather_lerp=False, fused_map_half=False,
-            tex_onehot_sample=True,
+            tex_onehot_sample=True, cull_empty_rays_ratio=0.1875,
         )
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
     cpu = jax.devices("cpu")[0]

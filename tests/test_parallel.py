@@ -122,6 +122,31 @@ def test_sharded_render_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_render_with_empty_cull():
+    """The exact empty-ray cull under the tile-sharded renderer: the
+    interleaved shard assignment makes each shard a uniform ray subsample
+    (hull fraction ~= global), so a global budget stays sound per shard —
+    outputs match the unsharded culled render and no shard overflows."""
+    import dataclasses
+
+    from keypointnerf_tpu.render import render_image
+
+    mesh = make_mesh()
+    cfg = dataclasses.replace(TINY, cull_empty_rays_ratio=0.6)
+    model = KeypointNeRF(cfg)
+    vb = tiny_batch(0)
+    state = create_train_state(model, vb, OptimConfig())
+
+    render = make_sharded_render(model, mesh, chunk=64)
+    out = render(state.params, vb, height=32, width=32)
+    assert float(np.asarray(out["cull_overflow"]).max()) == 0.0
+    ref = render_image(model, state.params, vb, height=32, width=32, chunk=64)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_fine"]), np.asarray(ref["rgb_fine"]), atol=2e-5
+    )
+
+
+@pytest.mark.slow
 def test_run_eval_sharded(tmp_path):
     """run_eval with rays sharded across the 8-device mesh."""
     from keypointnerf_tpu.data import SyntheticConfig, SyntheticDataset
