@@ -35,6 +35,10 @@ def main():
                     help="rematerialize the point query in backward")
     ap.add_argument("--no_mm_vjp", action="store_true",
                     help="XLA scatter-add gather backward instead of matmul VJP")
+    ap.add_argument("--save_gathers", action="store_true",
+                    help="cfg.remat_save_gathers (the shipped recipe)")
+    ap.add_argument("--pallas_dmap", action="store_true",
+                    help="cfg.train_pallas_dmap (VMEM-accumulator dmap kernel)")
     ap.add_argument("--logdir", default="/tmp/jaxtrace_train")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -51,6 +55,8 @@ def main():
         n_coarse=args.samples, n_fine=args.samples,
         compute_dtype=jnp.bfloat16, fused_feature_map=args.fused,
         remat=args.remat, train_matmul_gather_vjp=not args.no_mm_vjp,
+        remat_save_gathers=args.save_gathers,
+        train_pallas_dmap=args.pallas_dmap,
     )
     sample = make_sample(
         SyntheticConfig(image_size=args.image_size, n_views=4), seed=0

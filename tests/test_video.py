@@ -78,6 +78,28 @@ def test_render_orbit_writes_frames(tmp_path):
     assert img.shape == (16, 16, 3)  # 32 / stride 2
 
 
+def test_render_orbit_with_empty_cull(tmp_path):
+    """The orbit path (render_dynamic's engine) under the empty-ray cull —
+    the zju_fast serve preset now ships cull_empty_rays_ratio=0.25, so the
+    scanned-camera renderer must score/cull per frame inside lax.scan."""
+    cfg = KeypointNeRFConfig(
+        n_coarse=4, n_fine=4, patch_h=4, patch_w=4, geo_n_downsample=2,
+        cull_empty_rays_ratio=0.6,
+    )
+    model = KeypointNeRF(cfg)
+    sample = make_sample(SyntheticConfig(image_size=32, focal=40.0), seed=0)
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, sample))
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    headpose = np.eye(4, dtype=np.float32)
+    written = render_orbit(
+        model, params, vb, headpose, str(tmp_path / "orbit_cull"),
+        n_frames=2, im_size=32, stride=2, frame_indices=[0], make_video=False,
+    )
+    assert len(written) == 1 and os.path.exists(written[0])
+
+
 def test_arc_indices():
     from keypointnerf_tpu.render.video import arc_indices
 
