@@ -260,6 +260,11 @@ def main():
             # re-gathering, and skip the dead RGB/mask channels of the
             # packed map in the matmul VJP (automatic with mm-VJP)
             remat_save_gathers=True,
+            # round-4: VMEM-accumulator dmap kernel, now EXACT vs the XLA
+            # scan (f32 product-then-round; tests/test_pallas.py) and
+            # measured +2.2% at this geometry (0.6196 -> 0.6061 s/step,
+            # scripts/bench_train.py A/B)
+            train_pallas_dmap=True,
         )
         t_model = KeypointNeRF(train_cfg)
         loss_cfg = LossConfig()

@@ -71,8 +71,10 @@ guarantee holds); bench.py asserts it is 0 for its scenes.
 
 The per-point lookup itself must not pay the gather-index rate it exists
 to save, so the cell query is computed as one-hot MXU contractions
-(row-select matmul + column-select reduce) — ~2 orders of magnitude under
-the per-point march cost.
+(row-select matmul + column-select reduce) — measured 14-16 ms per 256²
+camera / 30-33 ms at 512² on v5e (scripts/score_micro.py; score_chunk
+8192 measured fastest of {512, 2048, 8192}, cell 8 ~= 16), i.e. ~13% of
+the culled fast render — the march it saves costs 6-25x more.
 """
 from __future__ import annotations
 
@@ -130,7 +132,7 @@ def _cell_lookup(cmax, cy, cx):
     return jnp.sum(jnp.where(x_oh, rows, 0), axis=-1).astype(jnp.float32)
 
 
-def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=2048,
+def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=8192,
                      feats=None):
     """Per-ray conservative foreground scores.
 

@@ -115,6 +115,13 @@ def main():
             fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,
             fused_map_half=True, cull_empty_rays_ratio=0.25,
         ),
+        # cull REPLACES topk (the composition above drops real rays once
+        # chunks are all-subject: -2.0 dB measured) — the round-4 preset
+        "fast_lerp_half_cull_notopk": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            gather_lerp=True, fused_map_half=True,
+            cull_empty_rays_ratio=0.25,
+        ),
     }
     if args.only:
         keep = set(args.only.split(","))

@@ -104,6 +104,28 @@ def main():
         measure(dataclasses.replace(half, cull_empty_rays_ratio=0.25),
                 512, "fast_half + empty-cull 0.25 512^2")
         return
+    if os.environ.get("FAST_CULL_NOTOPK"):
+        # cull + topk COMPOSITION is a quality trap (culling_error r4:
+        # post-cull chunks are ~all-subject, so fine_topk 0.5 drops REAL
+        # rays — -2.0 dB GT on the trained fixture vs -0.55 for the
+        # round-3 preset). The cull already removes exactly the rays topk
+        # approximated away, so the candidate preset is cull + topk 1.0.
+        nt = dataclasses.replace(
+            half, fine_topk_ratio=1.0, coarse_topk_ratio=1.0,
+        )
+        for ratio in (0.25, 0.21875):
+            measure(
+                dataclasses.replace(nt, cull_empty_rays_ratio=ratio),
+                256, f"fast_half cull {ratio} topk 1.0 256^2",
+            )
+        measure(
+            dataclasses.replace(nt, cull_empty_rays_ratio=0.25,
+                                fine_topk_ratio=0.75),
+            256, "fast_half cull 0.25 fine 0.75 256^2",
+        )
+        measure(dataclasses.replace(nt, cull_empty_rays_ratio=0.25),
+                512, "fast_half cull 0.25 topk 1.0 512^2")
+        return
     for size in (256, 512):
         measure(fast, size, f"fast (shipped) {size}^2")
         measure(half, size, f"fast + fused_map_half {size}^2")

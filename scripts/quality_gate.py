@@ -86,6 +86,7 @@ def main():
         compute_dtype=jnp.bfloat16, patch_h=PATCH, patch_w=PATCH,
         n_coarse=SAMPLES, n_fine=SAMPLES,
         remat=True, train_matmul_gather_vjp=True,
+        train_pallas_dmap=True,  # shipped in configs/zju.json (round 4)
     )
     model = KeypointNeRF(cfg)
     loss_cfg = LossConfig(lambda_vgg=0.0)  # deterministic gate: no random-VGG

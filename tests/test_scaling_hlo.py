@@ -104,14 +104,15 @@ def test_sharded_render_collectives_are_one_image_allgather(setup):
     # output dict: rgb/depth/acc for coarse+fine (+sdf_fine) = 11 f32/ray
     n_rays = H * W
     out_bytes = n_rays * 11 * 4
-    ag = total_bytes(inv, "all-gather")
-    # the final image assembly; allow the padded-ray wrap and dict-layout
-    # slack but NOT a reshard of the feature maps / params (orders of
-    # magnitude larger than the image)
-    assert out_bytes * 7 // 8 <= ag <= 4 * out_bytes + SLACK_BYTES, (
-        f"render all-gather should total ~{out_bytes} B, got {ag} B\n{pretty}"
+    # XLA implements the replicated image assembly as either an
+    # all-gather OR a masked-add all-reduce of the same payload (both
+    # observed across compiles of this exact program); what the test pins
+    # is the BYTES — ~one image's worth, not a reshard of the feature
+    # maps / params (orders of magnitude larger)
+    comm = total_bytes(inv, "all-gather") + total_bytes(inv, "all-reduce")
+    assert out_bytes * 7 // 8 <= comm <= 4 * out_bytes + SLACK_BYTES, (
+        f"render assembly should move ~{out_bytes} B, got {comm} B\n{pretty}"
     )
-    assert total_bytes(inv, "all-reduce") <= SLACK_BYTES, pretty
     assert "all-to-all" not in inv, pretty
 
 
