@@ -113,21 +113,19 @@ def main():
     # path keeps the exact softplus100)
     fast_cfg = KeypointNeRFConfig(
         compute_dtype=jnp.bfloat16, fused_feature_map=True,
-        fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
         gather_lerp=True,  # epipolar feature lerp, stride 2: halves the
-        # gather index count — the binding resource (docs/PERF.md); GT
-        # quality delta +0.02 dB on trained params (README culling table)
+        # gather index count — the binding resource (docs/PERF.md)
         fused_map_half=True,  # half-res fused map rides the <=256^2-area
-        # 15.2 ns/patch gather regime: +13% measured, GT delta -0.04 dB
-        # on trained params (README culling table)
+        # 15.2 ns/patch gather regime (docs/PERF.md)
         cull_empty_rays_ratio=0.25,  # exact empty-ray cull: only rays
         # whose conservative all-view fg bound can cross the validity
-        # threshold are marched (render/empty_cull.py). Culled rays are
-        # exactly zero; composing with the topk ratios only regroups the
-        # per-chunk topk budgets (quantified vs GT in README). Bench-scene
-        # hull max 0.191 under the lerp-tight bound
-        # (scripts/cull_hull_fraction.py); the runtime cull_overflow
-        # guard is asserted zero below for every camera.
+        # threshold are marched (render/empty_cull.py); the runtime
+        # cull_overflow guard is asserted zero below for every camera.
+        # The cull REPLACES the round-2/3 fine/coarse_topk ratios (both
+        # 1.0 here): post-cull chunks are nearly all subject rays, so
+        # per-chunk topk budgets would cut REAL rays (-2.0 dB GT measured
+        # vs -0.33 dB for this preset, which is BOTH faster and higher
+        # quality than round 3's topk preset — README culling table).
     )
     # strict reference semantics: march every ray, composite the full
     # 128-depth coarse+fine union, exact per-map bilinear lookups,

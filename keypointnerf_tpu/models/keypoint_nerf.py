@@ -515,8 +515,14 @@ class KeypointNeRF(nn.Module):
         co_ch = c.geo_out_ch
         tx_ch = c.tex_out_ch
         feat_coarse = feat_xy = None
+        # interpret-mode fallback on CPU: configs/zju.json ships
+        # train_pallas_dmap=true for the TPU, but the same config must
+        # still train on a CPU host (tests, smoke runs) where the Mosaic
+        # kernel cannot lower
         pallas_dmap = c.train_pallas_dmap and (
-            "interpret" if c.pallas_interpret else True
+            "interpret"
+            if (c.pallas_interpret or jax.default_backend() == "cpu")
+            else True
         )
         mvbs = (
             functools.partial(

@@ -122,6 +122,13 @@ def main():
             gather_lerp=True, fused_map_half=True,
             cull_empty_rays_ratio=0.25,
         ),
+        # mild fine cut within the culled set (+11% speed; effective fine
+        # fraction 0.1875 ~ the lerp-tight hull max 0.191 — borderline)
+        "fast_lerp_half_cull_fine075": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            gather_lerp=True, fused_map_half=True,
+            cull_empty_rays_ratio=0.25, fine_topk_ratio=0.75,
+        ),
     }
     if args.only:
         keep = set(args.only.split(","))

@@ -188,18 +188,17 @@ def main():
     # geometry) and record its PSNR drop vs the strict render's PSNR —
     # so a new eval flag that erodes GT quality past the recorded budget
     # FAILS the gate instead of silently riding the headline number.
-    # cull budget 0.5 here, not the bench preset's 0.25: the cull is EXACT
-    # whenever the budget covers the scene's hull (asserted via the
-    # runtime guard below), and the gate's 128² close-up scenes have a
-    # larger hull fraction than the bench orbit (the guard measured
-    # ~0.40 on gate scene 0 — it caught exactly the unsoundness it
-    # exists for). The approximations whose GT cost this row budgets
-    # (lerp/half/topk) are identical either way.
+    # The benched preset with a gate-scene-appropriate cull budget: 0.5,
+    # not the bench orbit's 0.25 — the cull is EXACT whenever the budget
+    # covers the scene's hull (asserted via the runtime guard below), and
+    # the gate's 128² close-up scenes measured ~0.40 (the guard caught
+    # it). Like the benched preset, NO topk ratios: composing per-chunk
+    # topk with the cull cuts real rays (-2.0 dB measured; docs/PERF.md).
+    # The approximations this row budgets (lerp/half) are identical.
     fast_cfg = dataclasses.replace(
         cfg, compute_dtype=jnp.bfloat16, remat=False,
         train_matmul_gather_vjp=False,
         fused_feature_map=True, fused_map_half=True, gather_lerp=True,
-        fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
         cull_empty_rays_ratio=0.5,
     )
     fast_model = KeypointNeRF(fast_cfg)
@@ -234,7 +233,7 @@ def main():
         "samples": SAMPLES, "n_train": N_TRAIN, "n_eval": N_EVAL,
         "recipe": "bf16 + per-map gathers + remat + mm-vjp, lambda_vgg=0",
         "fast_preset": "bench.py fast_cfg approximations (fused_map_half "
-                       "+ gather_lerp + topk 0.5) with empty-cull budget "
+                       "+ gather_lerp, no topk) with empty-cull budget "
                        "0.5 (gate scenes' hull > the bench orbit's; the "
                        "cull is exact at any covering budget), bf16",
     }
