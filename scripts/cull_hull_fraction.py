@@ -18,12 +18,20 @@ import sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cell", type=int, default=8,
+                    help="dilated max-pool cell size in map pixels: "
+                         "smaller = tighter bound (lower hull fraction, "
+                         "smaller legal budget) at higher scoring cost")
+    args = ap.parse_args()
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
     from keypointnerf_tpu.data.synthetic import look_at
     from keypointnerf_tpu.geometry.cameras import camera_rays, pixel_grid
@@ -60,9 +68,10 @@ def main():
         )
         hull = lambda s: jnp.mean((s > EMPTY_SCORE_THRESHOLD).astype(jnp.float32))
         return (
-            hull(empty_ray_scores(strict_cfg, vb, origin, dirs, near, far)),
+            hull(empty_ray_scores(strict_cfg, vb, origin, dirs, near, far,
+                                  cell=args.cell)),
             hull(empty_ray_scores(fast_cfg, vb, origin, dirs, near, far,
-                                  feats=feats)),
+                                  cell=args.cell, feats=feats)),
         )
 
     # both orbits bench.py times (seed 0.0 warms, seed 1.234 measures)
@@ -74,7 +83,7 @@ def main():
                 eye = 3.5 * np.array([np.cos(ang), 0.05, np.sin(ang)])
                 R, t = look_at(eye, np.zeros(3))
                 fs, ff = fractions(vb, feats, jnp.asarray(R), jnp.asarray(t), pix)
-                print(f"size={size} seed={seed} cam={i}: "
+                print(f"cell={args.cell} size={size} seed={seed} cam={i}: "
                       f"strict_hull={float(fs):.4f} fast_hull={float(ff):.4f}",
                       flush=True)
 
