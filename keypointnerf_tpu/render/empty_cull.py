@@ -91,6 +91,55 @@ from ..geometry.sampling import importance_z, stratified_z
 EMPTY_SCORE_THRESHOLD = 0.09
 
 
+def suggest_cull_budget(cfg, vb, cameras, height, width, feats=None,
+                        margin=1.3, quantum=1 / 64):
+    """Measure a scene's hull fraction and return a safe cull budget.
+
+    Sizing `cull_empty_rays_ratio` by hand against `cull_overflow` is the
+    error-prone part of deploying the cull (the bench orbit needs 0.25,
+    the quality gate's close-up scenes 0.5). This helper runs ONE scoring
+    pass per camera (the same conservative bound the renderer uses,
+    14-33 ms/camera on v5e — docs/PERF.md) and returns
+
+        ceil(max_camera_hull_fraction * margin / quantum) * quantum
+
+    clamped to (0, 1]. Use at scene/serve setup time, then render with
+    `dataclasses.replace(cfg, cull_empty_rays_ratio=budget)`; the
+    renderer's `cull_overflow` output stays the runtime guarantee.
+
+    Args:
+      cfg:     KeypointNeRFConfig (the EVAL config the renders will use —
+               its lerp/half flags pick the matching sound bound).
+      vb:      ViewBatch (source views of the subject).
+      cameras: iterable of (K, R, t) target cameras to cover.
+      height/width: render resolution.
+      feats:   encode() output; REQUIRED when cfg.fused_feature_map.
+      margin:  hull-to-budget safety factor (1.3 default; the bench
+               scene's camera-to-camera hull spread is ~1.3x).
+      quantum: budget granularity (1/64 keeps marched-ray counts
+               lane-friendly).
+    Returns:
+      (budget, max_hull_fraction) floats.
+    """
+    import math
+
+    from ..geometry.cameras import camera_rays, pixel_grid
+
+    pix = pixel_grid(height, width).astype(jnp.float32)
+    worst = 0.0
+    for K, R, t in cameras:
+        origin, dirs, near, far = camera_rays(
+            pix, K, R, t, cfg.znear, cfg.zfar
+        )
+        scores = empty_ray_scores(cfg, vb, origin, dirs, near, far,
+                                  feats=feats)
+        frac = float(jnp.mean((scores > EMPTY_SCORE_THRESHOLD)
+                              .astype(jnp.float32)))
+        worst = max(worst, frac)
+    budget = min(1.0, math.ceil(worst * margin / quantum) * quantum)
+    return max(budget, quantum), worst
+
+
 def conservative_mask_cells(masks, cell):
     """Dilated max-pool of per-view masks onto a coarse cell grid.
 

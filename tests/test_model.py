@@ -304,6 +304,31 @@ def test_cull_empty_rays_overflow_reported(model_and_params):
     assert float(ov.max()) > 0.0
 
 
+def test_suggest_cull_budget(model_and_params):
+    """Auto-sized cull budgets must cover the scene (overflow 0 when
+    rendering with the suggestion) and not be vacuous."""
+    import dataclasses
+
+    from keypointnerf_tpu.render.empty_cull import suggest_cull_budget
+
+    model, params, vb = model_and_params
+    budget, hull = suggest_cull_budget(
+        TINY, vb, [(vb.tar_K, vb.tar_R, vb.tar_t)], 64, 64
+    )
+    assert 0.0 < hull < 1.0
+    assert hull < budget <= 1.0
+    m = KeypointNeRF(dataclasses.replace(TINY, cull_empty_rays_ratio=budget))
+    out = render_image(m, params, vb, height=64, width=64, chunk=512)
+    assert float(np.asarray(out["cull_overflow"]).max()) == 0.0
+
+    # fused-map config: the suggestion must demand feats (sound bound)
+    fused_cfg = dataclasses.replace(TINY, fused_feature_map=True)
+    with pytest.raises(ValueError, match="feats"):
+        suggest_cull_budget(
+            fused_cfg, vb, [(vb.tar_K, vb.tar_R, vb.tar_t)], 64, 64
+        )
+
+
 def test_cull_empty_rays_rejects_disable_fg_mask(model_and_params):
     """With disable_fg_mask the validity test is frustum-only, so the
     fg-based cull is unsound — the combination must be rejected."""
