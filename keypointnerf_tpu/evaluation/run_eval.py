@@ -28,13 +28,53 @@ def run_eval(
     max_samples: Optional[int] = None,
     stride: int = 1,
     sharded: bool = False,
+    auto_cull_budget: int = 0,
 ) -> Dict[str, float]:
     """`sharded=True` partitions each image's rays across all local devices
     (parallel.make_sharded_render) — the multi-chip replacement for the
-    reference's serial full-image loop. stride must be 1 in that mode."""
+    reference's serial full-image loop. stride must be 1 in that mode.
+
+    `auto_cull_budget=N` (with a culling model config) probes the first N
+    loadable samples with `render.suggest_cull_budget` and RAISES the
+    cull budget to cover them — the serve presets' budgets are sized for
+    their bench scenes, and a dataset with closer framing (larger visual
+    hull) would otherwise trip the `cull_overflow` guard. Overflow is
+    also checked per rendered sample either way."""
     out_dir = os.path.join(cfg.out_dir, cfg.name)
     result_dir = result_dir or os.path.join(out_dir, "images_v3")
     evaluator = Evaluator(result_dir=result_dir)
+
+    if auto_cull_budget and model.cfg.cull_empty_rays_ratio < 1.0:
+        import dataclasses
+
+        from ..render import suggest_cull_budget
+
+        worst_budget, worst_hull, probed = 0.0, 0.0, 0
+        for i in range(len(dataset)):
+            if probed >= auto_cull_budget:
+                break
+            sample = dataset[i]
+            if sample is None:
+                continue
+            sample = {k: v for k, v in sample.items() if k != "meta"}
+            vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
+            H, W = np.asarray(vb.tar_image).shape[:2]
+            feats = None
+            if model.cfg.fused_feature_map:
+                feats = model.apply(state.params, vb.src_images,
+                                    vb.src_masks, method=KeypointNeRF.encode)
+            b, h = suggest_cull_budget(
+                model.cfg, vb, [(vb.tar_K, vb.tar_R, vb.tar_t)], H, W,
+                feats=feats,
+            )
+            worst_budget, worst_hull = max(worst_budget, b), max(worst_hull, h)
+            probed += 1
+        if worst_budget > model.cfg.cull_empty_rays_ratio:
+            print(f"auto_cull_budget: raising cull budget "
+                  f"{model.cfg.cull_empty_rays_ratio} -> {worst_budget} "
+                  f"(probed {probed} samples, worst hull {worst_hull:.3f})")
+            model = KeypointNeRF(dataclasses.replace(
+                model.cfg, cull_empty_rays_ratio=worst_budget))
 
     sharded_render = None
     if sharded and len(jax.devices()) > 1:
@@ -58,6 +98,13 @@ def run_eval(
             out = render_image(
                 model, state.params, vb, height=H, width=W, stride=stride
             )
+        if "cull_overflow" in out:
+            ov = float(np.asarray(out["cull_overflow"]).max())
+            if ov > 0:
+                print(f"WARNING: sample {i}: empty-ray cull budget "
+                      f"exceeded by {ov:.0f} rays — this image is NOT "
+                      "exact; raise cull_empty_rays_ratio or use "
+                      "auto_cull_budget")
         pred = np.clip(np.asarray(out["rgb_fine"]), 0.0, 1.0)
         gt = np.asarray(vb.tar_image)[::stride, ::stride]
         mab = np.asarray(meta.get("mask_at_box", np.ones((H, W))))[::stride, ::stride]

@@ -1,4 +1,5 @@
 """Metric parity tests: PSNR / SSIM / bounding rect / evaluator round trip."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -94,3 +95,36 @@ def test_compute_test_metric_identical_and_masked():
     rf = compute_test_metric(x, y)
     assert 0 < rm["ssim"] < 1 and 0 < rf["ssim"] < 1
     assert rm["psnr"] > 0 and np.isfinite(rm["psnr"])
+
+
+@pytest.mark.slow
+def test_run_eval_auto_cull_budget(tmp_path):
+    """run_eval(auto_cull_budget=N) must probe the dataset, RAISE an
+    under-sized cull budget to cover its hull, and keep the runtime
+    overflow guard at zero — the serve presets' budgets are sized for
+    their bench scenes, not every dataset's framing."""
+    import jax
+
+    from keypointnerf_tpu.data import SyntheticConfig, SyntheticDataset
+    from keypointnerf_tpu.evaluation.run_eval import run_eval
+    from keypointnerf_tpu.models import KeypointNeRF, ViewBatch
+    from keypointnerf_tpu.training import OptimConfig, create_train_state
+    from keypointnerf_tpu.utils import load_config
+
+    cfg = load_config(None, overrides={
+        "out_dir": str(tmp_path), "name": "auto_cull",
+        "model.n_coarse": 4, "model.n_fine": 4, "model.patch_h": 4,
+        "model.patch_w": 4, "model.geo_n_downsample": 2,
+        # deliberately under-sized budget: the probe must raise it
+        "model.cull_empty_rays_ratio": 0.02,
+        "data.image_size": 32,
+    })
+    model = KeypointNeRF(cfg.model)
+    data = SyntheticDataset(SyntheticConfig(image_size=32, focal=40.0), length=2)
+    s0 = data[0]
+    vb0 = ViewBatch(**{k: jnp.asarray(v) for k, v in s0.items()
+                       if k != "meta"})
+    state = create_train_state(model, vb0, OptimConfig())
+    scores = run_eval(cfg, model, state, data, max_samples=1,
+                      auto_cull_budget=1)
+    assert "psnr" in scores and np.isfinite(scores["psnr"])

@@ -31,6 +31,12 @@ def create_parser():
         help="partition eval-render rays across all local devices",
     )
     p.add_argument(
+        "--auto_cull_budget", type=int, default=0, metavar="N",
+        help="probe N samples and raise the exact empty-ray cull budget "
+             "to cover this dataset's visual hull (see "
+             "render.suggest_cull_budget); 0 = use the config budget",
+    )
+    p.add_argument(
         "--devices", type=int, default=None,
         help="restrict the data-parallel mesh to the first N local devices",
     )
@@ -190,7 +196,8 @@ def main():
     if args.run_val:
         from keypointnerf_tpu.evaluation.run_eval import run_eval
 
-        run_eval(cfg, model, trainer.state, val_data, sharded=args.sharded_eval)
+        run_eval(cfg, model, trainer.state, val_data, sharded=args.sharded_eval,
+                 auto_cull_budget=args.auto_cull_budget)
         return
 
     max_steps = 2 if args.fast_dev_run else args.max_steps
