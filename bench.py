@@ -121,11 +121,14 @@ def main():
         # whose conservative all-view fg bound can cross the validity
         # threshold are marched (render/empty_cull.py); the runtime
         # cull_overflow guard is asserted zero below for every camera.
-        # The cull REPLACES the round-2/3 fine/coarse_topk ratios (both
-        # 1.0 here): post-cull chunks are nearly all subject rays, so
-        # per-chunk topk budgets would cut REAL rays (-2.0 dB GT measured
-        # vs -0.33 dB for this preset, which is BOTH faster and higher
-        # quality than round 3's topk preset — README culling table).
+        # The cull REPLACES the round-2/3 topk ratios: post-cull chunks
+        # are nearly all subject rays, so aggressive per-chunk topk
+        # budgets cut REAL rays (-2.0 dB GT measured at fine 0.5 —
+        # README culling table). A MILD fine cut inside the culled set
+        # is free: fine 0.75 measured -0.32 dB GT (identical to topk-off
+        # -0.33) at +11% speed — the bottom quarter by coarse acc inside
+        # the hull is the cull bound's dilation slack.
+        fine_topk_ratio=0.75,
     )
     # strict reference semantics: march every ray, composite the full
     # 128-depth coarse+fine union, exact per-map bilinear lookups,

@@ -199,7 +199,7 @@ def main():
         cfg, compute_dtype=jnp.bfloat16, remat=False,
         train_matmul_gather_vjp=False,
         fused_feature_map=True, fused_map_half=True, gather_lerp=True,
-        cull_empty_rays_ratio=0.5,
+        cull_empty_rays_ratio=0.5, fine_topk_ratio=0.75,
     )
     fast_model = KeypointNeRF(fast_cfg)
     for split, base in (("seen", 0), ("unseen", UNSEEN_BASE)):
@@ -233,7 +233,7 @@ def main():
         "samples": SAMPLES, "n_train": N_TRAIN, "n_eval": N_EVAL,
         "recipe": "bf16 + per-map gathers + remat + mm-vjp, lambda_vgg=0",
         "fast_preset": "bench.py fast_cfg approximations (fused_map_half "
-                       "+ gather_lerp, no topk) with empty-cull budget "
+                       "+ gather_lerp + fine_topk 0.75) with empty-cull budget "
                        "0.5 (gate scenes' hull > the bench orbit's; the "
                        "cull is exact at any covering budget), bf16",
     }
