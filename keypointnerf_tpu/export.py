@@ -81,10 +81,12 @@ def make_multicam_serving_fn(model: KeypointNeRF, height: int, width: int,
             kpt3d=kpt3d, bounds=bounds,
         )
         feats = model.apply(params, src_images, src_masks, method=KeypointNeRF.encode)
+        # serving artifact returns frames only; the cull-overflow scalar
+        # is a host-side diagnostic (render_orbit surfaces it)
         return render_cameras_scanned(
             model, params, feats, vb, tar_Ks, Rs, ts,
             height=height, width=width, chunk=chunk,
-        )
+        )[0]
 
     return serve
 

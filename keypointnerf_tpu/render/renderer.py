@@ -200,14 +200,17 @@ def render_cameras_scanned(
     instead of one per frame — the orbit-video path (reference
     render_novel_views loops ~90 cameras, src/model.py:476-507) pays
     per-dispatch latency once per group. Encoder features are taken as an
-    argument (encode once per subject). Returns (F, H', W', 3) fine RGB
-    only — video frames need nothing else, and small outputs keep the
-    host transfer cheap.
+    argument (encode once per subject). Returns ((F, H', W', 3) fine RGB,
+    scalar max cull_overflow across the group) — video frames need
+    nothing else, small outputs keep the host transfer cheap, and the
+    overflow scalar keeps the empty-ray cull's exactness guard visible
+    when a serve preset renders cameras its budget wasn't sized for
+    (0.0 when culling is off).
     """
     cfg = model.cfg
     pix = pixel_grid(height, width, y_stride=stride, x_stride=stride)
 
-    def one(_, cam):
+    def one(worst, cam):
         K, R, t = cam
         origin, dirs, near, far = camera_rays(
             pix.astype(jnp.float32), K, R, t, cfg.znear, cfg.zfar
@@ -216,11 +219,12 @@ def render_cameras_scanned(
             model, params, feats, vb, origin, dirs, near, far,
             chunk=chunk, fine=fine,
         )
-        return None, out["rgb_fine" if fine else "rgb_coarse"]
+        ov = jnp.max(out.get("cull_overflow", jnp.zeros(1)))
+        return jnp.maximum(worst, ov), out["rgb_fine" if fine else "rgb_coarse"]
 
-    _, rgb = jax.lax.scan(one, None, (Ks, Rs, ts))
+    overflow, rgb = jax.lax.scan(one, jnp.asarray(0.0), (Ks, Rs, ts))
     h, w = -(-height // stride), -(-width // stride)
-    return rgb.reshape((rgb.shape[0], h, w, 3))
+    return rgb.reshape((rgb.shape[0], h, w, 3)), overflow
 
 
 @functools.partial(

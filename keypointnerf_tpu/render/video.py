@@ -161,10 +161,15 @@ def render_orbit(
             jnp.asarray(np.stack([cams[i % n_frames][j] for i in padded]))
             for j in range(3)
         )
-        rgb = render_cameras_scanned(
+        rgb, overflow = render_cameras_scanned(
             model, params, feats, vb, K, R, t,
             height=im_size, width=im_size, stride=stride,
         )
+        if float(overflow) > 0:
+            print(f"WARNING: frames {group}: empty-ray cull budget "
+                  f"exceeded by up to {float(overflow):.0f} rays — these "
+                  "frames are NOT exact; raise cull_empty_rays_ratio "
+                  "(size it with render.suggest_cull_budget)")
         imgs = np.clip(np.asarray(rgb[: len(group)]), 0.0, 1.0)
         for idx, img in zip(group, imgs):
             path = os.path.join(out_dir, f"{idx:06d}.png")

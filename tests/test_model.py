@@ -686,7 +686,7 @@ def test_render_cameras_scanned_matches_render_image(model_and_params):
     Ks = jnp.stack([vb.tar_K, vb.src_K[0]])
     Rs = jnp.stack([vb.tar_R, vb.src_R[0]])
     ts = jnp.stack([vb.tar_t, vb.src_t[0]])
-    rgb = render_cameras_scanned(
+    rgb, _ov = render_cameras_scanned(
         model, params, feats, vb, Ks, Rs, ts,
         height=64, width=64, stride=8, chunk=64,
     )
@@ -715,7 +715,7 @@ def test_render_cameras_scanned_coarse_only(model_and_params):
     feats = model.apply(
         params, vb.src_images, vb.src_masks, method=type(model).encode
     )
-    rgb = render_cameras_scanned(
+    rgb, _ov = render_cameras_scanned(
         model, params, feats, vb,
         vb.tar_K[None], vb.tar_R[None], vb.tar_t[None],
         height=64, width=64, stride=8, chunk=64, fine=False,
