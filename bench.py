@@ -106,58 +106,21 @@ def main():
     from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
     from keypointnerf_tpu.render.renderer import render_rays_chunked
 
-    # fast inference path: bf16 compute, single fused feature map, and
-    # coarse/fine ray culling of the rays that miss the subject
-    # (nl_relu_approx measured +0.1% here — the activation is not the
-    # bottleneck after the max+log1p softplus restructure — so the fast
-    # path keeps the exact softplus100)
-    fast_cfg = KeypointNeRFConfig(
-        compute_dtype=jnp.bfloat16, fused_feature_map=True,
-        gather_lerp=True,  # epipolar feature lerp, stride 2: halves the
-        # gather index count — the binding resource (docs/PERF.md)
-        fused_map_half=True,  # half-res fused map rides the <=256^2-area
-        # 15.2 ns/patch gather regime (docs/PERF.md)
-        cull_empty_rays_ratio=0.25,  # exact empty-ray cull: only rays
-        # whose conservative all-view fg bound can cross the validity
-        # threshold are marched (render/empty_cull.py); the runtime
-        # cull_overflow guard is asserted zero below for every camera.
-        # The cull REPLACES the round-2/3 topk ratios: post-cull chunks
-        # are nearly all subject rays, so aggressive per-chunk topk
-        # budgets cut REAL rays (-2.0 dB GT measured at fine 0.5 —
-        # README culling table). A MILD fine cut inside the culled set
-        # is free: fine 0.75 measured -0.32 dB GT (identical to topk-off
-        # -0.33) at +11% speed — the bottom quarter by coarse acc inside
-        # the hull is the cull bound's dilation slack.
-        fine_topk_ratio=0.75,
-    )
-    # strict reference semantics: march every ray, composite the full
-    # 128-depth coarse+fine union, exact per-map bilinear lookups,
-    # softplus100. reuse_coarse_eval stays ON: the model is pointwise, so
-    # merging the already-computed coarse values into the union instead of
-    # re-evaluating them yields identical outputs up to f32 reassociation
-    # (test_model.py:test_reuse_coarse_eval_exact, atol 3e-5) — an exact
-    # implementation optimization, not a semantics change. (gather_lerp is
-    # inert here: it only applies to the fused feature map.)
-    # tex_onehot_sample computes the SAME bilinear lookup of the tex map
-    # as one-hot MXU contractions instead of an index-rate-bound gather
-    # (ops/pallas/onehot_bilinear.py): identical clamp/border semantics,
-    # f32-exact (test_pallas.py), bf16 rounding comparable to the gather
-    # blend; +5.9% strict throughput measured on v5e.
-    # The round-4 addition on BOTH presets is the exact empty-ray cull
-    # (render/empty_cull.py): in the strict preset (topk ratios 1.0) the
-    # output is BIT-IDENTICAL to marching every ray — rays outside the
-    # conservative visual-hull budget provably composite to zero under the
-    # reference's all-view foreground validity (reference
-    # src/model.py:732-739, 978-997, 1150-1176) — so the strict numbers
-    # remain exact reference semantics (HW-verified sum_rel_delta=0,
-    # scripts/measure_strict_variants.py). Budget 0.1875 covers the bench
-    # scene's measured hull max 0.1546; the runtime cull_overflow guard is
+    # Both presets come from the ONE definition site,
+    # keypointnerf_tpu/models/presets.py (see its docstring for the full
+    # measured rationale of every flag — fused half-res map, stride-2
+    # gather-lerp, exact empty-ray cull with the runtime overflow guard,
+    # mild fine-0.75 cut inside the culled set, and why aggressive topk
+    # composed with the cull is the rejected −2.0 dB trap). The strict
+    # preset is BIT-IDENTICAL to marching every ray of the full 128-depth
+    # union with exact per-map lookups (HW-verified sum_rel_delta=0,
+    # scripts/measure_strict_variants.py); budget 0.1875 covers this
+    # scene's measured hull max 0.1546 and the cull_overflow guard is
     # asserted zero for every camera below.
-    strict_cfg = dataclasses.replace(
-        fast_cfg, fused_feature_map=False, nl_relu_approx=False,
-        fine_topk_ratio=1.0, coarse_topk_ratio=1.0, tex_onehot_sample=True,
-        cull_empty_rays_ratio=0.1875,
-    )
+    from keypointnerf_tpu.models import fast_preset, strict_preset
+
+    fast_cfg = fast_preset()
+    strict_cfg = strict_preset()
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
 
     # init on CPU (avoids compiling the training graph on the accelerator)

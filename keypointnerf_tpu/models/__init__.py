@@ -1,5 +1,6 @@
 from .spatial_encoding import SpatialEncodingConfig, spatial_encode, positional_encoding, spatial_encoding_dim
 from .keypoint_nerf import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+from .presets import fast_preset, strict_preset
 
 __all__ = [
     "SpatialEncodingConfig",
@@ -9,4 +10,6 @@ __all__ = [
     "KeypointNeRF",
     "KeypointNeRFConfig",
     "ViewBatch",
+    "fast_preset",
+    "strict_preset",
 ]

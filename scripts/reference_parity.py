@@ -29,7 +29,6 @@ fabricated fixtures (tests/test_reference_parity.py), so only the assets
 are missing, not the plumbing.
 """
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -44,6 +43,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REFERENCE_PSNR = 25.86
 REFERENCE_SSIM = 0.9107
 TARGET_PSNR = 25.8
+
+
+def drill_model_cfg(base_model_cfg, preset: str, cull: float = None):
+    """The model configuration the drill evaluates.
+
+    strict — exact reference semantics in f32 (the reference's CUDA model
+    runs f32; reference src/model.py:942-1108): no fused map, no topk, no
+    bf16. The exact empty-ray cull stays available via --cull (outputs
+    bit-identical while the runtime cull_overflow guard stays 0) but
+    defaults OFF for unknown data.
+
+    fast — EXACTLY the benched preset (keypointnerf_tpu/models/presets.py
+    `fast_preset`, the single definition site bench.py and the quality
+    gate also use), so the drill quantifies the GT cost of the
+    configuration actually shipped — not a variant
+    (tests/test_reference_parity.py pins the field-for-field equality).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from keypointnerf_tpu.models.presets import fast_preset
+
+    if preset == "strict":
+        return dataclasses.replace(
+            base_model_cfg, compute_dtype=jnp.float32, remat=False,
+            remat_save_gathers=False, train_matmul_gather_vjp=False,
+            train_pallas_dmap=False,
+            fused_feature_map=False, gather_lerp=False, fused_map_half=False,
+            fine_topk_ratio=1.0, coarse_topk_ratio=1.0,
+            cull_empty_rays_ratio=1.0 if cull is None else cull,
+        )
+    if cull is None:
+        return fast_preset(base_model_cfg)
+    return fast_preset(base_model_cfg, cull_budget=cull)
 
 
 def main(argv=None):
@@ -66,16 +100,18 @@ def main(argv=None):
                     help="strict = exact reference semantics (the parity "
                          "number); fast = the benched inference preset "
                          "(quantifies its GT cost on real data)")
-    ap.add_argument("--cull", type=float, default=1.0,
-                    help="exact empty-ray cull budget for the strict "
-                         "preset (outputs bit-identical while the runtime "
-                         "cull_overflow guard stays 0; see docs/PERF.md)")
+    ap.add_argument("--cull", type=float, default=None,
+                    help="exact empty-ray cull budget override. Default: "
+                         "strict = 1.0 (off — safest for unknown data; the "
+                         "cull is bit-identical while the runtime "
+                         "cull_overflow guard stays 0), fast = the benched "
+                         "preset's budget. Size with "
+                         "render.suggest_cull_budget; see docs/PERF.md")
     ap.add_argument("--assert-parity", action="store_true",
                     help="exit 1 unless PSNR >= %.2f" % TARGET_PSNR)
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from keypointnerf_tpu.data import ZJUTestDataset
     from keypointnerf_tpu.models import KeypointNeRF
@@ -86,24 +122,10 @@ def main(argv=None):
                                     "data.data_root": args.zju})
 
     # eval semantics: reference evaluates full f32 renders (its model runs
-    # f32 CUDA); strict marches per the reference, fast is the benched
-    # preset with its recorded GT budget (scripts/quality_gate.json)
-    if args.preset == "strict":
-        model_cfg = dataclasses.replace(
-            cfg.model, compute_dtype=jnp.float32, remat=False,
-            train_matmul_gather_vjp=False,
-            fused_feature_map=False, gather_lerp=False, fused_map_half=False,
-            fine_topk_ratio=1.0, coarse_topk_ratio=1.0,
-            cull_empty_rays_ratio=args.cull,
-        )
-    else:
-        model_cfg = dataclasses.replace(
-            cfg.model, compute_dtype=jnp.bfloat16, remat=False,
-            train_matmul_gather_vjp=False,
-            fused_feature_map=True, fused_map_half=True, gather_lerp=True,
-            fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
-            cull_empty_rays_ratio=0.25,
-        )
+    # f32 CUDA); strict marches per the reference, fast is EXACTLY the
+    # benched preset (models/presets.py) with its recorded GT budget
+    # (scripts/quality_gate.json) — see drill_model_cfg
+    model_cfg = drill_model_cfg(cfg.model, args.preset, args.cull)
     model = KeypointNeRF(model_cfg)
 
     # 1. reference checkpoint -> params

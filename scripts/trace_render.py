@@ -12,7 +12,6 @@ Usage:
 """
 import argparse
 import collections
-import dataclasses
 import glob
 import gzip
 import json
@@ -33,24 +32,14 @@ def render_once(preset, size, chunk):
     from keypointnerf_tpu.data import SyntheticConfig, make_sample
     from keypointnerf_tpu.data.synthetic import look_at
     from keypointnerf_tpu.geometry.cameras import camera_rays, pixel_grid
-    from keypointnerf_tpu.models import KeypointNeRF, KeypointNeRFConfig, ViewBatch
+    from keypointnerf_tpu.models import KeypointNeRF, ViewBatch
     from keypointnerf_tpu.render.renderer import render_rays_chunked
 
-    cfg = KeypointNeRFConfig(
-        compute_dtype=jnp.bfloat16, fused_feature_map=True,
-        fine_topk_ratio=0.5, coarse_topk_ratio=0.5,
-        gather_lerp=True, fused_map_half=True,  # official fast path (bench.py)
-        cull_empty_rays_ratio=0.25,  # round-4 exact empty-ray cull
-    )
-    if preset == "strict":
-        # matches bench.py's strict_cfg: exact per-map lookups, no topk
-        # culling, exact coarse-value reuse + exact empty-ray cull kept
-        # (identical outputs)
-        cfg = dataclasses.replace(
-            cfg, fused_feature_map=False, fine_topk_ratio=1.0,
-            coarse_topk_ratio=1.0, gather_lerp=False, fused_map_half=False,
-            tex_onehot_sample=True, cull_empty_rays_ratio=0.1875,
-        )
+    from keypointnerf_tpu.models.presets import fast_preset, strict_preset
+
+    # the shipped presets, from the single definition site — so traces
+    # profile the configuration bench.py actually measures
+    cfg = strict_preset() if preset == "strict" else fast_preset()
     sample = make_sample(SyntheticConfig(image_size=512, n_views=4), seed=0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
