@@ -7,7 +7,9 @@ output of this script is a self-contained serialized program: a serving
 binary deserializes it with `keypointnerf_tpu.export.load_render` (or
 raw `jax.export.deserialize`) and calls it with (params, src_images,
 src_masks, src_K, src_R, src_t, kpt3d, bounds, tar_K, R, t) — no model
-code, config, or Flax needed at serve time.
+code, config, or Flax needed at serve time. It returns
+(frames, cull_overflow); consumers MUST check the overflow guard when
+the exported config culls (docs/API.md "Serving contract").
 
     python export_model.py --config configs/zju.json \
         --model_ckpt out/zju/ckpts --out /tmp/kpnerf_render.jaxexport \

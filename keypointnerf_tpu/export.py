@@ -13,7 +13,19 @@ artifact deserializes in any consumer without registering this package's
 dataclasses):
 
     serve(params, src_images, src_masks, src_K, src_R, src_t,
-          kpt3d, bounds, tar_K, R, t) -> (H, W, 3) rgb
+          kpt3d, bounds, tar_K, R, t) -> ((H, W, 3) rgb, cull_overflow)
+
+The second output is the exact empty-ray cull's runtime soundness guard
+(render/renderer.py): 0.0 means every rendered ray outside the baked
+`cull_empty_rays_ratio` budget was PROVABLY empty, i.e. the frame equals
+the uncalled render bit-for-bit; nonzero means the scene's visual hull
+exceeded the baked budget and that many subject rays were silently
+zeroed — the serving contract is that callers MUST check it (or bake a
+budget sized with `render.suggest_cull_budget` / export with culling
+off). It is a constant 0.0 when the model config does not cull. The
+serve path is exactly where unsized scenes appear, so the guard ships
+inside the artifact rather than as a host-side wrapper (docs/API.md
+"Serving contract").
 
 Source-view encoding runs inside the program; for many-camera orbits of
 the same subject prefer `render.video.render_orbit` (encode-once) — the
@@ -31,7 +43,10 @@ from .render.renderer import render_rays_chunked
 
 
 def make_serving_fn(model: KeypointNeRF, height: int, width: int, chunk: int = 4096):
-    """A self-contained (params, views, camera) -> rgb image function."""
+    """A self-contained (params, views, camera) -> (rgb, cull_overflow) fn.
+
+    See the module docstring for the overflow output's serving contract.
+    """
     cfg = model.cfg
     pix = pixel_grid(height, width).astype(jnp.float32)
 
@@ -52,21 +67,26 @@ def make_serving_fn(model: KeypointNeRF, height: int, width: int, chunk: int = 4
         out = render_rays_chunked(
             model, params, feats, vb, origin, dirs, near, far, chunk=chunk
         )
-        return out["rgb_fine"].reshape(height, width, 3)
+        overflow = jnp.max(out.get("cull_overflow", jnp.zeros(1)))
+        return out["rgb_fine"].reshape(height, width, 3), overflow
 
     return serve
 
 
 def make_multicam_serving_fn(model: KeypointNeRF, height: int, width: int,
                              chunk: int = 4096):
-    """A (params, views, F-camera stacks) -> (F, H, W, 3) serving function.
+    """A (params, views, F-camera stacks) -> ((F, H, W, 3), overflow) fn.
 
     The video/orbit serving shape: source views are encoded ONCE inside
     the program, then a lax.scan marches every target camera
     (render_cameras_scanned) — the exported artifact keeps the reference's
     attach_im_feat amortization (src/model.py:642-688) without any Python
     caller managing a feature cache. Camera args are stacks:
-    tar_K/R (F, 3, 3), t (F, 3).
+    tar_K/R (F, 3, 3), t (F, 3). The second output is the max
+    cull-overflow across all F cameras (module docstring: a deployed
+    culled preset renders cameras its budget was never sized for — any
+    orbit camera overflowing the budget must be detectable from the
+    artifact's outputs alone).
     """
     from .render.renderer import render_cameras_scanned
 
@@ -81,12 +101,10 @@ def make_multicam_serving_fn(model: KeypointNeRF, height: int, width: int,
             kpt3d=kpt3d, bounds=bounds,
         )
         feats = model.apply(params, src_images, src_masks, method=KeypointNeRF.encode)
-        # serving artifact returns frames only; the cull-overflow scalar
-        # is a host-side diagnostic (render_orbit surfaces it)
         return render_cameras_scanned(
             model, params, feats, vb, tar_Ks, Rs, ts,
             height=height, width=width, chunk=chunk,
-        )[0]
+        )
 
     return serve
 
@@ -107,7 +125,9 @@ def export_render(
     `example_args` is the flat tuple (src_images, src_masks, src_K, src_R,
     src_t, kpt3d, bounds, tar_K, R, t) — only shapes/dtypes are captured.
     With `multicam=True` the camera entries are (F, ...) stacks and the
-    artifact returns (F, H, W, 3).
+    artifact returns ((F, H, W, 3), overflow); single-camera artifacts
+    return ((H, W, 3), overflow). Callers must check the overflow guard
+    (module docstring).
     """
     serve = (make_multicam_serving_fn if multicam else make_serving_fn)(
         model, height, width, chunk
