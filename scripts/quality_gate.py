@@ -19,6 +19,10 @@ Evaluation renders strict f32 full images (eval_synth protocol).
 Usage:
   python scripts/quality_gate.py [--steps 3000] [--write-thresholds]
                                  [--cpu] [--steps-chunk 100]
+  # fast-preset GT-budget trend vs model sharpness (one run, recorded):
+  python scripts/quality_gate.py --eval-at 3000,10000,20000 --write-trend
+  # divergence rescue evidence (seed 7 diverges clip-free):
+  python scripts/quality_gate.py --seed 7 --clip 1.0 --write-trend
 """
 import argparse
 import dataclasses
@@ -63,6 +67,23 @@ def main():
                          "other seeds are recorded by --write-thresholds "
                          "as cross-seed variance evidence only")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="optax clip_by_global_norm threshold (0 = off, the "
+                         "reference's clip-free Adam, src/model.py:46-47). "
+                         "Opt-in divergence rescue: seed 7 diverges outright "
+                         "without it (see rescue_runs in quality_gate.json). "
+                         "Clipped runs are recorded as evidence, never used "
+                         "for floors (different recipe)")
+    ap.add_argument("--eval-at", default=None,
+                    help="comma-separated step counts to evaluate at (e.g. "
+                         "3000,10000,20000) — one training run, metrics "
+                         "recorded per checkpoint so the fast-preset GT "
+                         "budget's trend vs model sharpness is measured "
+                         "(VERDICT r4 missing 3). Overrides --steps with "
+                         "the max")
+    ap.add_argument("--write-trend", action="store_true",
+                    help="append this run's per-checkpoint metrics to "
+                         "quality_gate.json trend_runs (no floor changes)")
     ap.add_argument("--write-thresholds", action="store_true",
                     help="record this run's numbers (minus margin) as the "
                          "new floors instead of asserting")
@@ -102,9 +123,11 @@ def main():
             *[ViewBatch(**{k: jnp.asarray(v) for k, v in s.items()})
               for s in samples],
         )
-        state = create_train_state(model, vb0,
-                                   OptimConfig(learning_rate=args.lr),
-                                   seed=args.seed)
+        state = create_train_state(
+            model, vb0,
+            OptimConfig(learning_rate=args.lr,
+                        grad_clip=args.clip if args.clip > 0 else None),
+            seed=args.seed)
     state = jax.device_put(state, dev)
     stack = jax.device_put(stack, dev)
 
@@ -127,14 +150,113 @@ def main():
         fin, losses = jax.lax.scan(body, state, jnp.arange(C))
         return fin, losses[-1]
 
+    # ---- eval programs (built once; reused at every checkpoint) ----
+    # strict f32 renders (eval_synth protocol)
+    eval_cfg = dataclasses.replace(
+        cfg, compute_dtype=jnp.float32, remat=False,
+        train_matmul_gather_vjp=False,
+    )
+    eval_model = KeypointNeRF(eval_cfg)
+    # fast-preset GT budget (VERDICT r3 missing 4): render the same
+    # scenes with the BENCHED fast preset (models/presets.py fast_preset —
+    # the single definition site bench.py uses) and record its PSNR drop
+    # vs the strict render's PSNR — so a new eval flag that erodes GT
+    # quality past the recorded budget FAILS the gate instead of silently
+    # riding the headline number. ONE deliberate override: a
+    # gate-scene-appropriate cull budget of 0.5, not the bench orbit's
+    # 0.25 — the cull is EXACT whenever the budget covers the scene's
+    # hull (asserted via the runtime guard below), and the gate's 128²
+    # close-up scenes measured ~0.40 (the guard caught it). The preset's
+    # mild fine_topk 0.75 matches the benched preset exactly; only
+    # AGGRESSIVE topk (0.5) composed with the cull is the rejected
+    # -2.0 dB trap (docs/PERF.md). The approximations this row budgets
+    # (lerp/half/fine-0.75) are identical to the shipped ones.
+    from keypointnerf_tpu.models.presets import fast_preset
+
+    fast_cfg = fast_preset(cfg, cull_budget=0.5)
+    fast_model = KeypointNeRF(fast_cfg)
+
+    def evaluate(state, at_step):
+        params = jax.device_put(
+            jax.tree.map(lambda x: x.astype(jnp.float32)
+                         if x.dtype == jnp.bfloat16 else x, state.params),
+            dev,
+        )
+        results = {}
+        for split, base in (("seen", 0), ("unseen", UNSEEN_BASE)):
+            ps, ss = [], []
+            for seed in range(base, base + N_EVAL):
+                sample = make_sample(scfg, seed=seed)
+                with jax.default_device(cpu):
+                    vb = ViewBatch(**{k: jnp.asarray(v)
+                                      for k, v in sample.items()})
+                gt = np.asarray(vb.tar_image, np.float32)
+                out = render_image(eval_model, params,
+                                   jax.device_put(vb, dev),
+                                   height=IMAGE, width=IMAGE, chunk=8192)
+                img = np.clip(np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0)
+                ps.append(float(psnr(img, gt)))
+                ss.append(float(structural_similarity(img, gt,
+                                                      multichannel=True)))
+            results[split] = {"psnr": round(float(np.mean(ps)), 2),
+                              "ssim": round(float(np.mean(ss)), 4)}
+            print(json.dumps({"step": at_step, "split": split,
+                              **results[split]}), flush=True)
+        for split, base in (("seen", 0), ("unseen", UNSEEN_BASE)):
+            ps = []
+            for seed in range(base, base + N_EVAL):
+                sample = make_sample(scfg, seed=seed)
+                with jax.default_device(cpu):
+                    vb = ViewBatch(**{k: jnp.asarray(v)
+                                      for k, v in sample.items()})
+                gt = np.asarray(vb.tar_image, np.float32)
+                out = render_image(fast_model, params,
+                                   jax.device_put(vb, dev),
+                                   height=IMAGE, width=IMAGE, chunk=8192)
+                ov = float(np.asarray(out["cull_overflow"]).max())
+                if ov > 0:
+                    print(f"QUALITY GATE FAILED: empty-ray cull budget "
+                          f"exceeded on {split} scene {seed} (overflow "
+                          f"{ov:.0f} rays) — the benched preset is unsound "
+                          "on the gate scenes", file=sys.stderr)
+                    sys.exit(1)
+                img = np.clip(np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0)
+                ps.append(float(psnr(img, gt)))
+            results[split]["fast_psnr"] = round(float(np.mean(ps)), 2)
+            results[split]["fast_delta_psnr"] = round(
+                results[split]["fast_psnr"] - results[split]["psnr"], 2
+            )
+            print(json.dumps({"step": at_step, "split": split,
+                              "fast_psnr": results[split]["fast_psnr"],
+                              "fast_delta_psnr":
+                              results[split]["fast_delta_psnr"]}), flush=True)
+        return results
+
+    # ---- train, evaluating at each checkpoint of --eval-at ----
+    if args.eval_at:
+        eval_points = sorted({-(-int(x) // C) * C
+                              for x in args.eval_at.split(",")})
+        args.steps = eval_points[-1]
+    else:
+        # round up to a chunk multiple so the final in-loop eval fires
+        args.steps = -(-args.steps // C) * C
+        eval_points = [args.steps]
+
+    trend = []
     t0 = time.time()
     for base in range(0, args.steps, C):
         state, last = run_chunk(state, stack, jnp.asarray(base))
         if (base // C) % 5 == 0:
             print(f"step {base + C}/{args.steps} loss={float(last):.4f} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+        if base + C in eval_points:
+            print(f"# eval at step {base + C} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+            trend.append({"steps": base + C, **evaluate(state, base + C)})
     print(f"# trained {args.steps} steps in {time.time() - t0:.0f}s "
           f"final loss {float(last):.4f}", file=sys.stderr)
+    results = trend[-1]
+    results = {k: results[k] for k in ("seen", "unseen")}
 
     if args.out_dir:
         import dataclasses as dc
@@ -157,76 +279,6 @@ def main():
         mgr.wait()
         print(f"# saved trained run -> {run_dir}", file=sys.stderr)
 
-    # ---- eval: strict f32 renders (eval_synth protocol) ----
-    eval_cfg = dataclasses.replace(
-        cfg, compute_dtype=jnp.float32, remat=False,
-        train_matmul_gather_vjp=False,
-    )
-    eval_model = KeypointNeRF(eval_cfg)
-    params = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.float32)
-                                         if x.dtype == jnp.bfloat16 else x,
-                                         state.params), dev)
-    results = {}
-    for split, base in (("seen", 0), ("unseen", UNSEEN_BASE)):
-        ps, ss = [], []
-        for seed in range(base, base + N_EVAL):
-            sample = make_sample(scfg, seed=seed)
-            with jax.default_device(cpu):
-                vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
-            gt = np.asarray(vb.tar_image, np.float32)
-            out = render_image(eval_model, params, jax.device_put(vb, dev),
-                               height=IMAGE, width=IMAGE, chunk=8192)
-            img = np.clip(np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0)
-            ps.append(float(psnr(img, gt)))
-            ss.append(float(structural_similarity(img, gt, multichannel=True)))
-        results[split] = {"psnr": round(float(np.mean(ps)), 2),
-                          "ssim": round(float(np.mean(ss)), 4)}
-        print(json.dumps({"split": split, **results[split]}), flush=True)
-
-    # ---- fast-preset GT budget (VERDICT r3 missing 4): render the same
-    # scenes with the BENCHED fast preset (models/presets.py fast_preset —
-    # the single definition site bench.py uses) and record its PSNR drop
-    # vs the strict render's PSNR — so a new eval flag that erodes GT
-    # quality past the recorded budget FAILS the gate instead of silently
-    # riding the headline number. ONE deliberate override: a
-    # gate-scene-appropriate cull budget of 0.5, not the bench orbit's
-    # 0.25 — the cull is EXACT whenever the budget covers the scene's
-    # hull (asserted via the runtime guard below), and the gate's 128²
-    # close-up scenes measured ~0.40 (the guard caught it). The preset's
-    # mild fine_topk 0.75 matches the benched preset exactly; only
-    # AGGRESSIVE topk (0.5) composed with the cull is the rejected
-    # -2.0 dB trap (docs/PERF.md). The approximations this row budgets
-    # (lerp/half/fine-0.75) are identical to the shipped ones.
-    from keypointnerf_tpu.models.presets import fast_preset
-
-    fast_cfg = fast_preset(cfg, cull_budget=0.5)
-    fast_model = KeypointNeRF(fast_cfg)
-    for split, base in (("seen", 0), ("unseen", UNSEEN_BASE)):
-        ps = []
-        for seed in range(base, base + N_EVAL):
-            sample = make_sample(scfg, seed=seed)
-            with jax.default_device(cpu):
-                vb = ViewBatch(**{k: jnp.asarray(v) for k, v in sample.items()})
-            gt = np.asarray(vb.tar_image, np.float32)
-            out = render_image(fast_model, params, jax.device_put(vb, dev),
-                               height=IMAGE, width=IMAGE, chunk=8192)
-            ov = float(np.asarray(out["cull_overflow"]).max())
-            if ov > 0:
-                print(f"QUALITY GATE FAILED: empty-ray cull budget exceeded "
-                      f"on {split} scene {seed} (overflow {ov:.0f} rays) — "
-                      "the benched preset is unsound on the gate scenes",
-                      file=sys.stderr)
-                sys.exit(1)
-            img = np.clip(np.asarray(out["rgb_fine"], np.float32), 0.0, 1.0)
-            ps.append(float(psnr(img, gt)))
-        results[split]["fast_psnr"] = round(float(np.mean(ps)), 2)
-        results[split]["fast_delta_psnr"] = round(
-            results[split]["fast_psnr"] - results[split]["psnr"], 2
-        )
-        print(json.dumps({"split": split, "fast_psnr": results[split]["fast_psnr"],
-                          "fast_delta_psnr": results[split]["fast_delta_psnr"]}),
-              flush=True)
-
     protocol = {
         "steps": args.steps, "image": IMAGE, "patch": PATCH,
         "samples": SAMPLES, "n_train": N_TRAIN, "n_eval": N_EVAL,
@@ -237,6 +289,32 @@ def main():
                        "the cull is exact at any covering budget)",
     }
     run = {"seed": args.seed, **{s: dict(r) for s, r in results.items()}}
+    if args.clip > 0:
+        run["clip"] = args.clip
+
+    if args.write_trend:
+        # append this run's per-checkpoint metrics (the fast-preset GT
+        # budget vs model sharpness, VERDICT r4 missing 3 — the budget
+        # GREW as the fixture sharpened in rounds 2-4, so the floor must
+        # derive from the sharpest measured point) and, for clipped runs,
+        # the divergence-rescue evidence (VERDICT r4 weak 6). Floors are
+        # untouched here; re-derive them with --write-thresholds.
+        th = json.load(open(THRESHOLD_FILE)) if os.path.exists(
+            THRESHOLD_FILE) else {"protocol": protocol}
+        entry = {"seed": args.seed, "steps": args.steps, "points": trend}
+        if args.clip > 0:
+            entry["clip"] = args.clip
+        key = "trend_runs"
+        th[key] = [e for e in th.get(key, [])
+                   if (e.get("seed"), e.get("clip"), e.get("steps"))
+                   != (entry.get("seed"), entry.get("clip"), entry.get("steps"))]
+        th[key].append(entry)
+        with open(THRESHOLD_FILE, "w") as f:
+            json.dump(th, f, indent=2)
+        print(f"recorded trend ({len(trend)} checkpoint(s), seed "
+              f"{args.seed}, clip {args.clip or 'off'}) -> {THRESHOLD_FILE}")
+        if not args.write_thresholds:
+            return
 
     if args.write_thresholds:
         # Floors derive from the PINNED gate seed only (the seed assert
@@ -250,12 +328,17 @@ def main():
         # deterministic run can gate. The margin covers compiler/version
         # drift, not seed noise.
         margin_psnr, margin_ssim, margin_delta = 1.0, 0.02, 0.3
-        runs = []
+        runs, old = [], {}
         if os.path.exists(THRESHOLD_FILE):
             old = json.load(open(THRESHOLD_FILE))
-            runs = [r for r in old.get("runs", []) if r.get("seed") != args.seed]
+            runs = [r for r in old.get("runs", [])
+                    if (r.get("seed"), r.get("clip"))
+                    != (args.seed, run.get("clip"))]
         runs.append(run)
-        pin = [r for r in runs if r.get("seed") == GATE_SEED]
+        # floors come from the pinned seed's UNCLIPPED runs only: clipped
+        # runs are a different recipe, recorded as rescue evidence
+        pin = [r for r in runs if r.get("seed") == GATE_SEED
+               and not r.get("clip")]
         if not pin:
             print(f"WARNING: no recorded run at the pinned gate seed "
                   f"{GATE_SEED}; floors derive from all runs", file=sys.stderr)
@@ -277,7 +360,8 @@ def main():
             }
             for split in results
         } if len(runs) > 1 else None
-        th = {"protocol": protocol, "runs": runs, "floors": floors}
+        # preserve keys other writers own (trend_runs, notes)
+        th = {**old, "protocol": protocol, "runs": runs, "floors": floors}
         if spread:
             th["cross_seed_spread"] = spread
             th["variance_note"] = (
@@ -294,6 +378,10 @@ def main():
         return
 
     th = json.load(open(THRESHOLD_FILE))
+    if args.clip > 0:
+        print("WARNING: asserting clip-free floors against a clipped run "
+              f"(--clip {args.clip}); floors derive from the reference's "
+              "clip-free Adam recipe", file=sys.stderr)
     if args.seed != GATE_SEED:
         print(f"WARNING: asserting floors at seed {args.seed}, but floors "
               f"are pinned to seed {GATE_SEED} runs — cross-seed variance "
