@@ -45,18 +45,26 @@ Conservativeness argument (each step only widens the kept set):
    every view). Two sound variants:
    - TIGHT (the default eval decomposition, `reuse_coarse_eval` and not
      `separate_cf`): the model evaluates two per-ray sample groups, the
-     ascending coarse depths and the ascending fine depths, each with
-     anchors at every stride-th index + the last. A sample at group
-     index i mixes anchors within [i-stride, i+stride], so per view a
-     windowed max of half-width `stride` over each group bounds any
-     mixture; score = max over both groups of (max over samples of
-     (min over views of the windowed bound)).
+     ascending coarse depths and the ascending fine depths, each
+     gathering ONLY its anchor positions (every stride-th index + the
+     last; `_strided_gather_lerp`). The bound therefore scores ONLY the
+     anchors — the positions whose map values can enter any sample's
+     mixture. A sample in segment j mixes anchor-array entries {j, j+1},
+     so per view a windowed max of half-width 1 over the ANCHOR axis
+     centered at j covers the pair; score = max over both groups of
+     (max over anchors of (min over views of the window-3 anchor
+     bound)). This is simultaneously TIGHTER than a bound that also
+     scores non-anchor positions (the model never reads those) and
+     ~stride x cheaper (1.94x fewer score lookups at stride 2 — the
+     scoring pass cost, docs/PERF.md, nearly halves; round-5
+     measurement).
    - LOOSE (any other lerp decomposition): swap the reduction order —
      score = min over views of (max over the ray's samples). Any convex
      mixture of per-view values along the ray is <= that view's max,
-     and anchors are a subset of the ray's samples. (Keeps
-     silhouette-cone-intersecting rays; the runtime budget guard below
-     still applies.)
+     and anchors are a subset of the ray's samples. All samples are
+     scored here (the anchor set of an unknown decomposition is
+     unknown). (Keeps silhouette-cone-intersecting rays; the runtime
+     budget guard below still applies.)
 4. The bf16 map values enter the cell max exactly (f32 max of bf16
    values); the model's bf16 convex blend of values <= cellmax can
    round at most ~0.4% above cellmax — absorbed by the 0.01 margin
@@ -244,6 +252,19 @@ def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=8192,
         dirs, near, far = (jnp.take(x, idx, axis=0) for x in (dirs, near, far))
     shape = lambda x: x.reshape((-1, score_chunk) + x.shape[1:])
 
+    # lerp_tight: the model only gathers anchor positions (every
+    # stride-th + last, per group — _strided_gather_lerp), so only those
+    # need scoring (docstring step 3 TIGHT): ~stride x fewer lookups AND
+    # a tighter bound. Static per-group anchor index tables:
+    if lerp_tight:
+        import numpy as _np
+
+        k = cfg.gather_lerp_stride
+        anch = lambda S: _np.concatenate(
+            [_np.arange(0, S, k), [S - 1]]).astype(_np.int32)
+        ia_c, ia_f = anch(cfg.n_coarse), anch(cfg.n_fine)
+        n_anch_c = ia_c.shape[0]
+
     def body(args):
         d, nr, fr = args  # (c, 3), (c, 1), (c, 1)
         z = stratified_z(None, nr, fr, cfg.n_coarse, jitter=False)  # (c, Sc)
@@ -252,7 +273,10 @@ def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=8192,
             None, jnp.zeros_like(z[..., : cfg.n_coarse - 2]), z_mid,
             cfg.n_fine, uniform=True,
         )
-        z_all = jnp.concatenate([z, zf], axis=-1)       # (c, S)
+        if lerp_tight:
+            z_all = jnp.concatenate([z[..., ia_c], zf[..., ia_f]], axis=-1)
+        else:
+            z_all = jnp.concatenate([z, zf], axis=-1)   # (c, S)
         pts = origin + d[:, None, :] * z_all[..., None]  # (c, S, 3)
         xy_pix, _ = project_points(pts.reshape(1, -1, 3), krt)  # (V, c*S, 2)
         xy = ndc_xy(xy_pix, W, H)
@@ -265,19 +289,19 @@ def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=8192,
         vals = _cell_lookup(cmax, cy, cx)               # (V, c*S)
         vals = vals.reshape(V, -1, z_all.shape[-1])      # (V, c, S)
         if lerp_tight:
-            k = cfg.gather_lerp_stride
-
-            def group_score(v):  # (V, c, Sg) -> (c,)
+            def group_score(v):  # (V, c, Ga) over the ANCHOR axis -> (c,)
+                # window 3 centered at anchor j covers the {j, j+1} pair
+                # any sample in segment j mixes (docstring step 3 TIGHT)
                 w = jax.lax.reduce_window(
                     v, -jnp.inf, jax.lax.max,
-                    window_dimensions=(1, 1, 2 * k + 1),
+                    window_dimensions=(1, 1, 3),
                     window_strides=(1, 1, 1), padding="SAME",
                 )
                 return jnp.max(jnp.min(w, axis=0), axis=-1)
 
             return jnp.maximum(
-                group_score(vals[..., : cfg.n_coarse]),
-                group_score(vals[..., cfg.n_coarse :]),
+                group_score(vals[..., :n_anch_c]),
+                group_score(vals[..., n_anch_c:]),
             )
         if lerp_mode:
             return jnp.min(jnp.max(vals, axis=-1), axis=0)  # (c,)
