@@ -21,8 +21,10 @@ Usage:
                                  [--cpu] [--steps-chunk 100]
   # fast-preset GT-budget trend vs model sharpness (one run, recorded):
   python scripts/quality_gate.py --eval-at 3000,10000,20000 --write-trend
-  # divergence rescue evidence (seed 7 diverges clip-free):
-  python scripts/quality_gate.py --seed 7 --clip 1.0 --write-trend
+  # divergence rescue evidence (seed 7 collapses at step 0; measured:
+  # --clip is a no-op under Adam's gradient-scale invariance, --warmup
+  # damps the collapsing first updates — see trend_runs):
+  python scripts/quality_gate.py --seed 7 --warmup 500 --write-trend
 """
 import argparse
 import dataclasses
@@ -38,6 +40,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 THRESHOLD_FILE = os.path.join(HERE, "quality_gate.json")
@@ -70,10 +73,27 @@ def main():
     ap.add_argument("--clip", type=float, default=0.0,
                     help="optax clip_by_global_norm threshold (0 = off, the "
                          "reference's clip-free Adam, src/model.py:46-47). "
-                         "Opt-in divergence rescue: seed 7 diverges outright "
-                         "without it (see rescue_runs in quality_gate.json). "
-                         "Clipped runs are recorded as evidence, never used "
-                         "for floors (different recipe)")
+                         "MEASURED on the seed-7 collapse: a no-op — Adam's "
+                         "update is invariant to the scale of a single "
+                         "dominant gradient (m/sqrt(v) cancels the factor), "
+                         "and after the step-0 spike the gradients vanish, "
+                         "so the clipped trajectory is indistinguishable "
+                         "(quality_gate.json trend_runs seed 7 clip 1.0). "
+                         "Kept as an option; --warmup is the rescue that "
+                         "works. Clipped runs are recorded as evidence, "
+                         "never used for floors (different recipe)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear lr warmup steps (OptimConfig.warmup_steps; "
+                         "0 = off, the reference's constant-lr Adam). The "
+                         "measured seed-7 rescue: the failure is a step-0 "
+                         "collapse (13.2-norm init gradient, then gradients "
+                         "VANISH <1e-3), and Adam is scale-invariant to a "
+                         "single dominant gradient, so --clip is a measured "
+                         "no-op; damping the first UPDATES via warmup is "
+                         "what can rescue it. Recorded as evidence, never "
+                         "used for floors")
+    ap.add_argument("--log-every-chunk", action="store_true",
+                    help="print loss/grad-norm for every step chunk")
     ap.add_argument("--eval-at", default=None,
                     help="comma-separated step counts to evaluate at (e.g. "
                          "3000,10000,20000) — one training run, metrics "
@@ -126,7 +146,8 @@ def main():
         state = create_train_state(
             model, vb0,
             OptimConfig(learning_rate=args.lr,
-                        grad_clip=args.clip if args.clip > 0 else None),
+                        grad_clip=args.clip if args.clip > 0 else None,
+                        warmup_steps=args.warmup),
             seed=args.seed)
     state = jax.device_put(state, dev)
     stack = jax.device_put(stack, dev)
@@ -145,10 +166,14 @@ def main():
                 return compute_losses(out, loss_cfg, None)
 
             (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
-            return s.apply_gradients(grads=grads), total
+            gn = optax.global_norm(grads)
+            return s.apply_gradients(grads=grads), (total, gn)
 
-        fin, losses = jax.lax.scan(body, state, jnp.arange(C))
-        return fin, losses[-1]
+        fin, (losses, gns) = jax.lax.scan(body, state, jnp.arange(C))
+        # per-chunk grad-norm max/last: the divergence-rescue threshold
+        # (--clip) must be chosen from the measured norm scale — clip 1.0
+        # measured as a bit-identical no-op on the seed-7 divergence
+        return fin, (losses[-1], jnp.max(gns), jnp.argmax(gns))
 
     # ---- eval programs (built once; reused at every checkpoint) ----
     # strict f32 renders (eval_synth protocol)
@@ -245,9 +270,10 @@ def main():
     trend = []
     t0 = time.time()
     for base in range(0, args.steps, C):
-        state, last = run_chunk(state, stack, jnp.asarray(base))
-        if (base // C) % 5 == 0:
+        state, (last, gn_max, gn_at) = run_chunk(state, stack, jnp.asarray(base))
+        if (base // C) % 5 == 0 or args.log_every_chunk:
             print(f"step {base + C}/{args.steps} loss={float(last):.4f} "
+                  f"gn_max={float(gn_max):.3e}@{base + int(gn_at)} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
         if base + C in eval_points:
             print(f"# eval at step {base + C} "
@@ -291,6 +317,8 @@ def main():
     run = {"seed": args.seed, **{s: dict(r) for s, r in results.items()}}
     if args.clip > 0:
         run["clip"] = args.clip
+    if args.warmup > 0:
+        run["warmup"] = args.warmup
 
     if args.write_trend:
         # append this run's per-checkpoint metrics (the fast-preset GT
@@ -304,15 +332,20 @@ def main():
         entry = {"seed": args.seed, "steps": args.steps, "points": trend}
         if args.clip > 0:
             entry["clip"] = args.clip
+        if args.warmup > 0:
+            entry["warmup"] = args.warmup
         key = "trend_runs"
         th[key] = [e for e in th.get(key, [])
-                   if (e.get("seed"), e.get("clip"), e.get("steps"))
-                   != (entry.get("seed"), entry.get("clip"), entry.get("steps"))]
+                   if (e.get("seed"), e.get("clip"), e.get("warmup"),
+                       e.get("steps"))
+                   != (entry.get("seed"), entry.get("clip"),
+                       entry.get("warmup"), entry.get("steps"))]
         th[key].append(entry)
         with open(THRESHOLD_FILE, "w") as f:
             json.dump(th, f, indent=2)
         print(f"recorded trend ({len(trend)} checkpoint(s), seed "
-              f"{args.seed}, clip {args.clip or 'off'}) -> {THRESHOLD_FILE}")
+              f"{args.seed}, clip {args.clip or 'off'}, warmup "
+              f"{args.warmup or 'off'}) -> {THRESHOLD_FILE}")
         if not args.write_thresholds:
             return
 
@@ -332,13 +365,13 @@ def main():
         if os.path.exists(THRESHOLD_FILE):
             old = json.load(open(THRESHOLD_FILE))
             runs = [r for r in old.get("runs", [])
-                    if (r.get("seed"), r.get("clip"))
-                    != (args.seed, run.get("clip"))]
+                    if (r.get("seed"), r.get("clip"), r.get("warmup"))
+                    != (args.seed, run.get("clip"), run.get("warmup"))]
         runs.append(run)
         # floors come from the pinned seed's UNCLIPPED runs only: clipped
         # runs are a different recipe, recorded as rescue evidence
         pin = [r for r in runs if r.get("seed") == GATE_SEED
-               and not r.get("clip")]
+               and not r.get("clip") and not r.get("warmup")]
         if not pin:
             print(f"WARNING: no recorded run at the pinned gate seed "
                   f"{GATE_SEED}; floors derive from all runs", file=sys.stderr)
