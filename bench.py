@@ -206,10 +206,17 @@ def main():
     def measure_train():
         """Full-optimizer-step throughput at the shipped ZJU recipe and the
         reference's REAL training geometry: 64x64-ray patch, 64+64 samples,
-        bf16 + per-map gathers + remat + matmul gather-VJP, full loss incl.
-        0.5*VGG on random frozen features (reference configs/zju.json:18-23,
-        36-37, 106-111). One jitted lax.scan of K complete steps with
-        scalar-only outputs (relay rule: docs/PERF.md)."""
+        bf16 + per-map gathers + matmul gather-VJP (shape-aware dmap:
+        Pallas VMEM kernel for the wide coarse map, XLA scan for the 8-ch
+        maps — scripts/dmap_micro.py), NO remat, full loss incl. 0.5*VGG
+        on random frozen features (reference configs/zju.json:18-23,
+        36-37, 106-111). Round 5 flipped the recipe off remat: the
+        no-remat step now FITS the v5e's 16 GB (round-2's 15.99 G OOM
+        predated the partial-channel dmap's memory cuts) and skips the
+        backward recompute — 0.5242 (remat) -> 0.4917 s/step measured
+        (scripts/bench_train.py A/B). cfg.remat stays one flag away for
+        tighter-HBM configurations. One jitted lax.scan of K complete
+        steps with scalar-only outputs (relay rule: docs/PERF.md)."""
         from keypointnerf_tpu.models.vgg import init_vgg_params
         from keypointnerf_tpu.training import OptimConfig, create_train_state
         from keypointnerf_tpu.training.losses import LossConfig, compute_losses
@@ -218,16 +225,10 @@ def main():
 
         train_cfg = KeypointNeRFConfig(
             compute_dtype=jnp.bfloat16, patch_h=64, patch_w=64,
-            remat=True, train_matmul_gather_vjp=True,
-            # round-3 recipe additions (both exact; docs/PERF.md):
-            # save the gathered per-point features for backward instead of
-            # re-gathering, and skip the dead RGB/mask channels of the
-            # packed map in the matmul VJP (automatic with mm-VJP)
-            remat_save_gathers=True,
-            # round-4: VMEM-accumulator dmap kernel, now EXACT vs the XLA
-            # scan (f32 product-then-round; tests/test_pallas.py) and
-            # measured +2.2% at this geometry (0.6196 -> 0.6061 s/step,
-            # scripts/bench_train.py A/B)
+            remat=False, train_matmul_gather_vjp=True,
+            remat_save_gathers=False,
+            # round-4/5: VMEM-accumulator dmap kernel where it wins
+            # (C >= 32; ops/feat_sample.py shape-aware routing)
             train_pallas_dmap=True,
         )
         t_model = KeypointNeRF(train_cfg)

@@ -161,7 +161,19 @@ def _mm_bwd_impl(res, g, grad_channels, pallas_dmap):
 
     # --- map gradient: chunked one-hot matmuls, f32 accumulator ---
     Cg = C if grad_channels is None else min(grad_channels, C)
-    if pallas_dmap:
+    # Shape-aware kernel choice (scripts/dmap_micro.py, v5e, N=524k, V=3):
+    # the VMEM-accumulator kernel wins 8.7x on the wide coarse map
+    # (128^2 x 64: 83 -> 9.6 ms) but LOSES ~2x to the XLA scan on the
+    # narrow 8-ch maps (256^2 x 8: ~8 -> 19-21 ms), where the scan's
+    # (4096, W*C) G2 blocks feed near-peak MXU dots while the kernel's
+    # 128-point steps underutilize it. pallas_dmap therefore routes only
+    # wide-channel maps to the kernel. KPN_DMAP_MIN_C overrides the
+    # threshold (a measurement affordance: 0 = round-4 all-kernel
+    # routing, 9999 = all-scan; both used by the quality-gate causality
+    # runs recorded in scripts/quality_gate.json).
+    import os as _os
+
+    if pallas_dmap and Cg >= int(_os.environ.get("KPN_DMAP_MIN_C", "32")):
         # VMEM-accumulator Pallas kernel: same contraction, no HBM G2
         # round-trip (ops/pallas/onehot_dmap.py). The static flag value
         # "interpret" runs the kernel in interpret mode (CPU tests).

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_N = 128
 
 
-def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype):
+def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype, broadcast_xwe):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -76,13 +76,24 @@ def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype):
         jnp.where(rows == y0i, 1.0 - wy, zero)
         + jnp.where(rows == y0i + 1, wy, zero)
     ).astype(dtype)
-    # expanded column weights built directly at (P, W*C): column k holds
-    # x index k // C (x-major, C innermost)
-    colsx = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1) // C
-    xwe = (
-        jnp.where(colsx == x0i, 1.0 - wx, zero)
-        + jnp.where(colsx == x0i + 1, wx, zero)
-    )                                                # (P, W*C) f32
+    if broadcast_xwe:
+        # build the compact (P, W) one-hot on the VPU, then expand to
+        # (P, W*C) with a broadcast-reshape (C innermost) — ~5 fewer
+        # full-width VPU passes than the iota//C construction below
+        colsw = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+        xw = (
+            jnp.where(colsw == x0i, 1.0 - wx, zero)
+            + jnp.where(colsw == x0i + 1, wx, zero)
+        )                                            # (P, W) f32
+        xwe = jnp.broadcast_to(xw[:, :, None], (P, W, C)).reshape(P, W * C)
+    else:
+        # expanded column weights built directly at (P, W*C): column k
+        # holds x index k // C (x-major, C innermost)
+        colsx = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1) // C
+        xwe = (
+            jnp.where(colsx == x0i, 1.0 - wx, zero)
+            + jnp.where(colsx == x0i + 1, wx, zero)
+        )                                            # (P, W*C) f32
     # cotangent tiled over x blocks: position w*C + c holds g[n, c]
     gt = pltpu.repeat(g_ref[:], W, axis=1)           # (P, W*C) f32
     # the weight*cotangent product is formed in f32 and rounded ONCE to
@@ -96,7 +107,7 @@ def _kernel(xy_ref, g_ref, out_ref, *, H, W, C, dtype):
 
 
 def bilinear_dmap_onehot(xy_ndc, g, H, W, map_dtype=jnp.bfloat16,
-                         interpret=False):
+                         interpret=False, tile_n=None, broadcast_xwe=False):
     """Map gradient of `bilinear_sample(feat, xy_ndc)` wrt `feat`.
 
     Args:
@@ -105,24 +116,32 @@ def bilinear_dmap_onehot(xy_ndc, g, H, W, map_dtype=jnp.bfloat16,
       H, W:   map spatial shape.
       map_dtype: contraction dtype (matches the XLA VJP's choice: bf16
         maps contract in bf16 with f32 accumulation, f32 maps in f32).
+      tile_n: points per grid step (default TILE_N; larger tiles amortize
+        per-step overhead but grow the (tile_n, W*C) VMEM intermediates —
+        budget ~16 MB/core).
+      broadcast_xwe: build the expanded column weights via a compact
+        (P, W) one-hot + broadcast-reshape instead of full-width iota
+        compares (fewer VPU passes; bit-identical output).
     Returns:
       (H, W, C) f32 dmap (caller casts to the map dtype).
     """
     N, C = g.shape
+    P = TILE_N if tile_n is None else tile_n
     dtype = jnp.bfloat16 if map_dtype == jnp.bfloat16 else jnp.float32
-    n_pad = (-N) % TILE_N
+    n_pad = (-N) % P
     # padded rows get zero cotangent -> contribute nothing
     xy = jnp.pad(xy_ndc.astype(jnp.float32), ((0, n_pad), (0, 0)))
     gp = jnp.pad(g, ((0, n_pad), (0, 0)))
-    n_tiles = (N + n_pad) // TILE_N
+    n_tiles = (N + n_pad) // P
 
-    kernel = functools.partial(_kernel, H=H, W=W, C=C, dtype=dtype)
+    kernel = functools.partial(_kernel, H=H, W=W, C=C, dtype=dtype,
+                               broadcast_xwe=broadcast_xwe)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_N, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         # same output block every grid step: a VMEM-resident accumulator
         out_specs=pl.BlockSpec((H, W * C), lambda i: (0, 0),

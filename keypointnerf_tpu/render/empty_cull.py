@@ -79,10 +79,12 @@ guarantee holds); bench.py asserts it is 0 for its scenes.
 
 The per-point lookup itself must not pay the gather-index rate it exists
 to save, so the cell query is computed as one-hot MXU contractions
-(row-select matmul + column-select reduce) — measured 14-16 ms per 256²
-camera / 30-33 ms at 512² on v5e (scripts/score_micro.py; score_chunk
-8192 measured fastest of {512, 2048, 8192}, cell 8 ~= 16), i.e. ~13% of
-the culled fast render — the march it saves costs 6-25x more.
+(row-select matmul + column-select reduce). Measured on v5e
+(scripts/trace_stage_render.py; score_chunk 8192 fastest of {512, 2048,
+8192}, cell 8 ~= 16): the anchor-only TIGHT pass 2.3 ms per 256² camera
+/ 17.9 ms at 512² (~1% of the culled fast render; round 4's all-sample
+pass measured 14-16 / 30-33 ms), the strict all-sample pass
+8.8 / 12.6 ms — the march it saves costs 20-80x more.
 """
 from __future__ import annotations
 

@@ -81,8 +81,8 @@ def main():
     cfg = KeypointNeRFConfig(
         compute_dtype=jnp.bfloat16, patch_h=side, patch_w=side,
         n_coarse=args.samples, n_fine=args.samples,
-        remat=True, train_matmul_gather_vjp=True,
-        remat_save_gathers=True, train_pallas_dmap=True,
+        remat=False, train_matmul_gather_vjp=True,
+        remat_save_gathers=False, train_pallas_dmap=True,
     )
     model = KeypointNeRF(cfg)
     loss_cfg = LossConfig()
@@ -220,6 +220,54 @@ def main():
 
         results["query"] = timed(
             "query", run_query,
+            (state.params, feats, vb, jnp.asarray(0.0)),
+            (state.params, feats, vb, jnp.asarray(1e-7)),
+        )
+
+    # ---------- point query, also differentiating wrt the feature maps ----
+    # The `query` stage treats feats as constants, so the mm-VJP dmap
+    # contractions (the map gradients that continue into the encoder
+    # backward) run ONLY in `full` — they are the structural candidate
+    # for the residual. query_dfeats - query isolates their cost.
+    # query_dfeats_scan re-measures with train_pallas_dmap off (pure XLA
+    # scan dmaps); query_dfeats_nodmap zeroes the dmap entirely via
+    # stop_gradient on the gathered features' map inputs — it bounds the
+    # non-dmap share of the feats-gradient chain.
+    df_variants = [s for s in stages if s.startswith("query_dfeats")]
+    for df_name in df_variants:
+        qcfg = cfg
+        if df_name == "query_dfeats_scan":
+            qcfg = dataclasses.replace(cfg, train_pallas_dmap=False)
+        qmodel = KeypointNeRF(qcfg)
+        off = (args.image_size - side) // 2
+        pix = (pixel_grid(side, side) + off).astype(jnp.float32)
+
+        @jax.jit
+        def run_query_df(params, feats, vb, seed, qmodel=qmodel):
+            origin, dirs, near, far = camera_rays(
+                pix, vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar
+            )
+
+            def body(c, k):
+                rng = jax.random.fold_in(jax.random.key(1), k)
+
+                def loss_fn(args):
+                    p, f = args
+                    out = qmodel.apply(
+                        p, f, vb, origin, dirs, near, far, rng, True, True,
+                        method=KeypointNeRF.render_rays,
+                    )
+                    return sum(jnp.mean(jnp.abs(v.astype(jnp.float32)))
+                               for v in out.values())
+
+                l, g = jax.value_and_grad(loss_fn)((params, feats))
+                return c + l + 1e-30 * optax.global_norm(g), None
+
+            acc, _ = jax.lax.scan(body, seed * 0.0, jnp.arange(K))
+            return acc
+
+        results[df_name] = timed(
+            df_name, run_query_df,
             (state.params, feats, vb, jnp.asarray(0.0)),
             (state.params, feats, vb, jnp.asarray(1e-7)),
         )

@@ -12,7 +12,8 @@ the numbers that set them; the gate FAILS (exit 1) if any floor is broken.
 Training is one jitted lax.scan chunk of optimizer steps over a
 device-resident stack of synthetic samples (relay-safe: scalar fetch per
 chunk), using exactly the configs/zju.json recipe flags — bf16 compute,
-per-map gathers (no fused map), remat, train_matmul_gather_vjp — at
+per-map gathers (no fused map), train_matmul_gather_vjp with shape-aware
+dmap routing, no remat (round 5) — at
 reduced geometry (32x32-ray patch, 32+32 samples, 128^2 images).
 Evaluation renders strict f32 full images (eval_synth protocol).
 
@@ -122,12 +123,14 @@ def main():
     from keypointnerf_tpu.training import OptimConfig, create_train_state
     from keypointnerf_tpu.training.losses import LossConfig, compute_losses
 
-    # the shipped zju.json recipe flags at gate geometry
+    # the shipped zju.json recipe flags at gate geometry (round 5: the
+    # recipe dropped remat — the no-remat step fits HBM now and is 6%
+    # faster — and routes the dmap shape-aware, docs/PERF.md)
     cfg = KeypointNeRFConfig(
         compute_dtype=jnp.bfloat16, patch_h=PATCH, patch_w=PATCH,
         n_coarse=SAMPLES, n_fine=SAMPLES,
-        remat=True, train_matmul_gather_vjp=True,
-        train_pallas_dmap=True,  # shipped in configs/zju.json (round 4)
+        remat=False, train_matmul_gather_vjp=True,
+        train_pallas_dmap=True,
     )
     model = KeypointNeRF(cfg)
     loss_cfg = LossConfig(lambda_vgg=0.0)  # deterministic gate: no random-VGG
@@ -308,7 +311,8 @@ def main():
     protocol = {
         "steps": args.steps, "image": IMAGE, "patch": PATCH,
         "samples": SAMPLES, "n_train": N_TRAIN, "n_eval": N_EVAL,
-        "recipe": "bf16 + per-map gathers + remat + mm-vjp, lambda_vgg=0",
+        "recipe": "bf16 + per-map gathers + mm-vjp (shape-aware dmap), "
+                  "no remat (round 5), lambda_vgg=0",
         "fast_preset": "models/presets.py fast_preset (fused_map_half "
                        "+ gather_lerp + fine_topk 0.75, bf16) with empty-cull "
                        "budget 0.5 (gate scenes' hull > the bench orbit's; "
