@@ -162,6 +162,17 @@ class KeypointNeRFConfig:
     # (hd/rgb/mask are resampled to the half grid); quantify with
     # scripts/culling_error.py before shipping.
     fused_map_half: bool = False
+    # halving applies only when min(input H, W) >= this. Rationale: the
+    # half map exists SOLELY to drop the gather operand into the
+    # <= 256^2-area fast regime; for inputs <= 256^2 the full-res map is
+    # already there, so halving buys zero speed and costs real quality —
+    # measured on the 20k-step sharp fixture at the 128^2 gate geometry:
+    # the shipped preset's GT budget eroded to -3.2 dB unseen purely from
+    # the 64^2 half map, while the same knob at 512^2 inputs measures
+    # ~free (+0.15 dB; scripts/culling_error.py, quality_gate.json
+    # trend_runs). Tests exercising the halving math at toy sizes set
+    # this to 0.
+    fused_map_half_min_side: int = 512
     # DMA-pipelined Pallas bilinear gather for the per-point feature lookups
     # (ops/pallas/dma_gather.py): 24-27x faster than the XLA gather on v5e
     # for RANDOM lookups with exact parity, but slower end-to-end in the
@@ -408,8 +419,13 @@ class KeypointNeRF(nn.Module):
             # fused_map_half: build the packed map on the HALF grid — a
             # 512^2-input model's map drops into the <=256^2-area gather
             # regime (15.2 vs 23.6 ns/patch on v5e, docs/PERF.md). The NDC
-            # convention makes downstream sampling size-agnostic.
-            Hm, Wm = (H // 2, W // 2) if self.cfg.fused_map_half else (H, W)
+            # convention makes downstream sampling size-agnostic. Below
+            # fused_map_half_min_side the full map is already in the fast
+            # regime, so halving is skipped (pure quality loss otherwise —
+            # see the config field's measured rationale).
+            half = (self.cfg.fused_map_half
+                    and min(H, W) >= self.cfg.fused_map_half_min_side)
+            Hm, Wm = (H // 2, W // 2) if half else (H, W)
             grid = pixel_grid(Hm, Wm).astype(jnp.float32)
             xy = jnp.stack(
                 [2.0 * grid[:, 0] / (Wm - 1.0) - 1.0, 2.0 * grid[:, 1] / (Hm - 1.0) - 1.0],
@@ -424,7 +440,7 @@ class KeypointNeRF(nn.Module):
             up_coarse = mvbs(feat_geo[0], xy).reshape(V, Hm, Wm, -1)
             up_tex = mvbs(feat_tex, xy).reshape(V, Hm, Wm, -1)
             dt = feat_geo[1].dtype
-            if self.cfg.fused_map_half:
+            if half:
                 # hd/rgb/mask live at full res: resample them onto the half
                 # grid with ONE packed gather (encode-time, amortized over
                 # every ray of the render)

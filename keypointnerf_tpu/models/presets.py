@@ -19,6 +19,12 @@ Two presets, matching bench.py's two measurements:
   aggressive fine topk: post-cull chunks are nearly all subject rays, so
   per-chunk topk 0.5 composed with the cull cuts REAL rays
   (−2.0 dB measured; docs/PERF.md "the cull+topk quality trap").
+  Round 5: halving the fused map respects
+  ``fused_map_half_min_side`` (default 512) — at inputs below it the
+  full-res map is already in the fast gather regime, and the 20k-step
+  sharp-fixture trend showed forced halving there erodes GT by up to
+  −3.2 dB for zero speed (quality_gate.json trend_runs; the same knob
+  at 512² inputs measures ~free).
 * ``strict_preset`` — strict reference semantics (reference
   src/model.py:942-1108): full 128-depth union composited, exact per-map
   bilinear lookups, softplus100, every ray marched or provably-zero.

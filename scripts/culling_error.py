@@ -99,6 +99,24 @@ def main():
         "fused_half": dataclasses.replace(
             strict_cfg, fused_feature_map=True, fused_map_half=True,
         ),
+        # half map x lerp interaction WITHOUT any culling (round-5 trend
+        # decomposition: which knob's GT cost grows with model sharpness)
+        "lerp_half": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, fused_map_half=True,
+            gather_lerp=True,
+        ),
+        # halving FORCED below fused_map_half_min_side (the pre-round-5
+        # behavior): at --size <= 256 these two rows quantify exactly what
+        # the min_side guard saves on a sharp model
+        "fused_half_forced": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, fused_map_half=True,
+            fused_map_half_min_side=0,
+        ),
+        "preset_fine075_forcehalf": dataclasses.replace(
+            strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
+            gather_lerp=True, fused_map_half=True, fused_map_half_min_side=0,
+            cull_empty_rays_ratio=0.25, fine_topk_ratio=0.75,
+        ),
         "fast_all_lerp_half": dataclasses.replace(
             strict_cfg, fused_feature_map=True, reuse_coarse_eval=True,
             fine_topk_ratio=0.5, coarse_topk_ratio=0.5, gather_lerp=True,

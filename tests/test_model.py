@@ -163,7 +163,8 @@ def test_fused_map_half_close_to_fused():
 
     model_f = KeypointNeRF(dataclasses.replace(TINY, fused_feature_map=True))
     model_h = KeypointNeRF(dataclasses.replace(
-        TINY, fused_feature_map=True, fused_map_half=True))
+        TINY, fused_feature_map=True, fused_map_half=True,
+        fused_map_half_min_side=0))  # toy inputs: force the halving math
     vb = tiny_batch()
     params = model_f.init(
         {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
@@ -258,7 +259,8 @@ def test_cull_empty_rays_exact_fused_half(model_and_params):
     import dataclasses
 
     model, params, vb = model_and_params
-    base = dataclasses.replace(TINY, fused_feature_map=True, fused_map_half=True)
+    base = dataclasses.replace(TINY, fused_feature_map=True,
+                               fused_map_half=True, fused_map_half_min_side=0)
     m_full = KeypointNeRF(base)
     m_cull = KeypointNeRF(dataclasses.replace(base, cull_empty_rays_ratio=0.6))
     a = render_image(m_full, params, vb, height=64, width=64, chunk=512)
