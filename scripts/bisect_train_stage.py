@@ -181,6 +181,40 @@ def main():
             (state.params, vb2, jnp.asarray(1.0)),
         )
 
+    # ---------- point query forward only (no grad) ----------
+    if "query_fwd" in stages:
+        feats_f = jax.jit(
+            lambda p, vb: model.apply(p, vb.src_images, vb.src_masks, True,
+                                      method=KeypointNeRF.encode)
+        )(state.params, vb)
+        feats_f = jax.device_put(jax.lax.stop_gradient(feats_f), dev)
+        off = (args.image_size - side) // 2
+        pixf = (pixel_grid(side, side) + off).astype(jnp.float32)
+
+        @jax.jit
+        def run_query_fwd(params, feats, vb, seed):
+            origin, dirs, near, far = camera_rays(
+                pixf, vb.tar_K, vb.tar_R, vb.tar_t, cfg.znear, cfg.zfar
+            )
+
+            def body(c, k):
+                rng = jax.random.fold_in(jax.random.key(1), k)
+                out = model.apply(
+                    params, feats, vb, origin, dirs, near, far, rng, True,
+                    True, method=KeypointNeRF.render_rays,
+                )
+                return c + sum(jnp.mean(jnp.abs(v.astype(jnp.float32)))
+                               for v in out.values()), None
+
+            acc, _ = jax.lax.scan(body, seed * 0.0, jnp.arange(K))
+            return acc
+
+        results["query_fwd"] = timed(
+            "query_fwd", run_query_fwd,
+            (state.params, feats_f, vb, jnp.asarray(0.0)),
+            (state.params, feats_f, vb, jnp.asarray(1e-7)),
+        )
+
     # ---------- point query alone (feats constant) ----------
     if "query" in stages:
         feats = jax.jit(
