@@ -80,8 +80,10 @@ guarantee holds); bench.py asserts it is 0 for its scenes.
 The per-point lookup itself must not pay the gather-index rate it exists
 to save, so the cell query is computed as one-hot MXU contractions
 (row-select matmul + column-select reduce). Measured on v5e
-(scripts/trace_stage_render.py; score_chunk 8192 fastest of {512, 2048,
-8192}, cell 8 ~= 16): the anchor-only TIGHT pass 2.3 ms per 256² camera
+(scripts/trace_stage_render.py; round-5 score_chunk sweep at 512²:
+4096 → 16.7 ms, 8192 → 19.6 ms, 32768 → 36.6 ms — 4096 is the default;
+chunking only reshapes the pass, outputs bit-identical; cell 8 ~= 16):
+the anchor-only TIGHT pass 2.3 ms per 256² camera
 / 17.9 ms at 512² (~1% of the culled fast render; round 4's all-sample
 pass measured 14-16 / 30-33 ms), the strict all-sample pass
 8.8 / 12.6 ms — the march it saves costs 20-80x more.
@@ -191,7 +193,7 @@ def _cell_lookup(cmax, cy, cx):
     return jnp.sum(jnp.where(x_oh, rows, 0), axis=-1).astype(jnp.float32)
 
 
-def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=8192,
+def empty_ray_scores(cfg, vb, origin, dirs, near, far, cell=8, score_chunk=4096,
                      feats=None):
     """Per-ray conservative foreground scores.
 
