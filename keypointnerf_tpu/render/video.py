@@ -116,13 +116,21 @@ def render_orbit(
     make_video: bool = True,
     arc: str = "full",
     frame_group: int = 10,
+    auto_cull_budget: int = 0,
 ):
     """Render an orbit around the subject of `vb` and write PNG frames
     (+ mp4). Returns the list of written frame paths.
 
     Frames are rendered `frame_group` at a time inside ONE compiled
     program (render_cameras_scanned) — per-dispatch latency is paid per
-    group, not per frame."""
+    group, not per frame.
+
+    `auto_cull_budget=N` (with a culling model config) probes N cameras
+    spread over the orbit with `render.suggest_cull_budget` and RAISES
+    the cull budget to cover them before any frame renders — same
+    semantics as `run_eval`: serve presets' budgets are sized for their
+    bench scenes, and an orbit around a closer-framed subject would
+    otherwise trip the per-group `cull_overflow` warning below."""
     import dataclasses
 
     import imageio.v2 as imageio
@@ -151,6 +159,22 @@ def render_orbit(
     feats = jax.jit(
         lambda p, im, mk: model.apply(p, im, mk, method=KeypointNeRF.encode)
     )(params, vb.src_images, vb.src_masks)
+    if auto_cull_budget and model.cfg.cull_empty_rays_ratio < 1.0:
+        from .empty_cull import suggest_cull_budget
+
+        step = max(1, len(indices) // auto_cull_budget)
+        probe = [cams[i % n_frames] for i in indices[::step][:auto_cull_budget]]
+        budget, hull = suggest_cull_budget(
+            model.cfg, vb, probe, im_size, im_size,
+            feats=feats if model.cfg.fused_feature_map else None,
+        )
+        if budget > model.cfg.cull_empty_rays_ratio:
+            print(f"auto_cull_budget: raising cull budget "
+                  f"{model.cfg.cull_empty_rays_ratio} -> {budget} "
+                  f"(probed {len(probe)} orbit cameras, worst hull "
+                  f"{hull:.3f})")
+            model = type(model)(dataclasses.replace(
+                model.cfg, cull_empty_rays_ratio=budget))
     # pad the last group to the fixed group size so every group hits the
     # same compiled program (duplicate frames render and are dropped)
     g = max(1, min(frame_group, len(indices)))

@@ -19,6 +19,12 @@ def main():
     parser.add_argument("--model_ckpt", type=str, required=True, help="checkpoint dir")
     parser.add_argument("--n_frames", type=int, default=90)
     parser.add_argument("--stride", type=int, default=1)
+    parser.add_argument(
+        "--auto_cull_budget", type=int, default=0, metavar="N",
+        help="probe N cameras spread over each orbit and RAISE the exact "
+             "empty-ray cull budget to cover them before rendering "
+             "(render.suggest_cull_budget); 0 = use the config budget",
+    )
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -68,6 +74,7 @@ def main():
             n_frames=args.n_frames, stride=args.stride,
             frame_indices=[meta["frame_index"] % args.n_frames],
             make_video=False,
+            auto_cull_budget=args.auto_cull_budget,
         )
     for sub_dir in frame_dirs:
         write_video(sub_dir, f"{sub_dir}_nvs.mp4")

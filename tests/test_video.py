@@ -100,6 +100,52 @@ def test_render_orbit_with_empty_cull(tmp_path):
     assert len(written) == 1 and os.path.exists(written[0])
 
 
+def test_render_orbit_auto_cull_budget(tmp_path, capsys):
+    """auto_cull_budget probes orbit cameras and RAISES an under-sized
+    cull budget before rendering (run_eval semantics; VERDICT/ROADMAP
+    round-5 gap: the orbit path previously used the config budget
+    verbatim). A deliberately tiny budget must be raised — and the
+    rendered frame must bit-match the uncull render (the cull stays
+    exact at the raised budget)."""
+    import dataclasses
+
+    cfg = KeypointNeRFConfig(
+        n_coarse=4, n_fine=4, patch_h=4, patch_w=4, geo_n_downsample=2,
+        cull_empty_rays_ratio=1 / 64,  # far below any subject's hull
+    )
+    model = KeypointNeRF(cfg)
+    # 64^2: the dilated hull is a FRACTION of the frame (the 32^2 toy
+    # scale saturates to 1.0, which would trivially take the march-all
+    # branch) — the raised budget must exercise the real packed-cull path
+    sample = make_sample(SyntheticConfig(image_size=64, focal=80.0), seed=0)
+    vb = ViewBatch(**jax.tree.map(jnp.asarray, sample))
+    params = model.init(
+        {"params": jax.random.key(0), "render": jax.random.key(1)}, vb, True
+    )
+    headpose = np.eye(4, dtype=np.float32)
+    written = render_orbit(
+        model, params, vb, headpose, str(tmp_path / "auto"),
+        n_frames=2, im_size=64, stride=2, frame_indices=[0],
+        make_video=False, auto_cull_budget=2,
+    )
+    out = capsys.readouterr().out
+    assert "raising cull budget" in out
+    assert "cull budget exceeded" not in out  # raised budget covers hull
+    raised = float(out.split("-> ")[1].split(" ")[0])
+    assert raised < 1.0, f"hull saturated ({out!r}); shrink the subject"
+    uncull = KeypointNeRF(dataclasses.replace(cfg, cull_empty_rays_ratio=1.0))
+    ref = render_orbit(
+        uncull, params, vb, headpose, str(tmp_path / "uncull"),
+        n_frames=2, im_size=64, stride=2, frame_indices=[0],
+        make_video=False,
+    )
+    import imageio.v2 as imageio
+
+    np.testing.assert_array_equal(
+        imageio.imread(written[0]), imageio.imread(ref[0])
+    )
+
+
 def test_arc_indices():
     from keypointnerf_tpu.render.video import arc_indices
 
